@@ -1,0 +1,57 @@
+"""End-to-end benchmark: single image -> textured mesh wall-clock on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 45 s/image (reference headline, README.md:48; ~40 s on A6000).
+vs_baseline = baseline_secs / our_secs (>1 means faster than reference).
+
+The pipeline runs with randomly-initialized weights (pretrained checkpoints
+are not downloadable in this environment) — the compute graph, shapes, DDIM
+step counts (77 + 8x50), view counts (12 + 32) and mesh resolution (256)
+are identical to the real configuration, so wall-clock is representative.
+Compilation is excluded via a warm-up run (the reference's ~40 s number is
+likewise post-warmup, README.md:152-154).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from one2345_tpu.core.config import PipelineConfig
+    from one2345_tpu.pipeline.runner import One2345Pipeline
+
+    cfg = PipelineConfig()
+    pipe = One2345Pipeline(cfg, use_sam=False)
+
+    rng = np.random.default_rng(0)
+    # synthetic preprocessed input (256x256 white-bg object)
+    img = np.ones((256, 256, 3), np.float32)
+    img[64:192, 64:192] = rng.uniform(0.2, 0.8, (128, 128, 3))
+
+    # warm-up: compile every stage graph
+    pipe.run(img, skip_preprocess=True, mesh_resolution=256, seed=0)
+
+    t0 = time.perf_counter()
+    result = pipe.run(img, skip_preprocess=True, mesh_resolution=256, seed=1)
+    dt = time.perf_counter() - t0
+
+    baseline = 45.0
+    print(
+        json.dumps(
+            {
+                "metric": "secs_image_to_mesh",
+                "value": round(dt, 3),
+                "unit": "s",
+                "vs_baseline": round(baseline / dt, 3),
+                "detail": {k: round(v, 3) for k, v in result.timings.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

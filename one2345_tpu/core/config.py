@@ -1,0 +1,210 @@
+"""Unified dataclass config system.
+
+The reference splinters configuration across three systems: OmegaConf YAML +
+an instantiate-from-config class registry for the diffusion stage
+(/root/reference/ldm/util.py:131-146, configs/*.yaml), pyhocon HOCON for the
+reconstruction stage (reconstruction/confs/*.conf), and argparse flags in every
+entry point (run.py:100-107).  Here everything is a frozen dataclass with
+defaults matching the reference's shipped configs, serializable to/from JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+def _to_jsonable(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {k: _to_jsonable(v) for k, v in dataclasses.asdict(obj).items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(x) for x in obj]
+    return obj
+
+
+class _ConfigBase:
+    def to_json(self) -> str:
+        return json.dumps(_to_jsonable(self), indent=2)
+
+    def replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in fields:
+                raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
+            ft = fields[k].type
+            if dataclasses.is_dataclass(ft) and isinstance(v, dict):
+                v = ft.from_dict(v)
+            kwargs[k] = v
+        return cls(**kwargs)
+
+
+@dataclass(frozen=True)
+class UNetConfig(_ConfigBase):
+    """Zero123-XL denoiser UNet.
+
+    Defaults match /root/reference/configs/sd-objaverse-finetune-c_concat-256.yaml:28-43
+    (SD-1.x UNet with 8 input channels for the 'hybrid' concat conditioning).
+    """
+
+    in_channels: int = 8
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class VAEConfig(_ConfigBase):
+    """SD AutoencoderKL (reference yaml:45-67)."""
+
+    embed_dim: int = 4
+    z_channels: int = 4
+    base_channels: int = 128
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    in_channels: int = 3
+    out_channels: int = 3
+    scale_factor: float = 0.18215  # LatentDiffusion scale (ddpm.py:483 params)
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig(_ConfigBase):
+    """OpenAI CLIP ViT-L/14 image tower (ldm/modules/encoders/modules.py:343)."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    embed_dim: int = 768  # output projection dim -> conditioning tokens
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class DiffusionConfig(_ConfigBase):
+    """Latent-diffusion schedule + sampling defaults.
+
+    Schedule constants from the reference yaml:5-17; sampling defaults from
+    run.py:95-97 (75 stage-1 / 50 stage-2 DDIM steps, CFG scale 3).
+    """
+
+    timesteps: int = 1000
+    linear_start: float = 0.00085
+    linear_end: float = 0.0120
+    ddim_steps_stage1: int = 75
+    ddim_steps_stage2: int = 50
+    ddim_eta: float = 1.0
+    cfg_scale: float = 3.0
+    image_size: int = 256
+    latent_size: int = 32
+    unet: UNetConfig = field(default_factory=UNetConfig)
+    vae: VAEConfig = field(default_factory=VAEConfig)
+    clip: CLIPVisionConfig = field(default_factory=CLIPVisionConfig)
+
+
+@dataclass(frozen=True)
+class ReconConfig(_ConfigBase):
+    """Generalizable SparseNeuS reconstruction.
+
+    Defaults reproduce reconstruction/confs/one2345_lod0_val_demo.conf
+    (lod0 inference config: 96^3 volume, voxel 2/95, 56-ch fused pyramid
+    features compressed to 16, regnet 16-out, 64+64 samples, white bkgd).
+    """
+
+    # inputs
+    image_hw: Sequence[int] = (256, 256)
+    # volume
+    vol_dims: Sequence[int] = (96, 96, 96)
+    voxel_size: float = 2.0 / 95.0
+    partial_vol_origin: Sequence[float] = (-1.0, -1.0, -1.0)
+    # feature nets
+    ch_in: int = 56
+    d_pyramid_feature_compress: int = 16
+    regnet_d_out: int = 16
+    hidden_dim: int = 128
+    num_sdf_layers: int = 4
+    multires: int = 6
+    # rendering network
+    in_geometry_feat_ch: int = 16
+    in_rendering_feat_ch: int = 56
+    anti_alias_pooling: bool = True
+    # renderer
+    n_samples: int = 64
+    n_importance: int = 64
+    n_outside: int = 0
+    perturb: float = 1.0
+    alpha_type: str = "div"
+    variance_init_val: float = 0.2
+    use_white_bkgd: bool = True
+    # losses / training (one2345_lod0_val_demo.conf:35-56)
+    learning_rate: float = 2e-4
+    end_iter: int = 200_000
+    n_rays: int = 512
+    anneal_start: int = 0
+    anneal_end: int = 25_000
+    sdf_igr_weight: float = 0.1
+    sdf_sparse_weight: float = 0.02
+    sdf_decay_param: float = 100.0
+    fg_bg_weight: float = 0.01
+    bg_ratio: float = 0.3
+    # mesh extraction
+    mesh_resolution: int = 256
+    mesh_threshold: float = 0.0
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class SamConfig(_ConfigBase):
+    """SAM ViT-H (utils/sam_utils.py:9-16; weights sam_vit_h_4b8939.pth)."""
+
+    image_size: int = 1024
+    patch_size: int = 16
+    encoder_dim: int = 1280
+    encoder_depth: int = 32
+    encoder_heads: int = 16
+    global_attn_indexes: Sequence[int] = (7, 15, 23, 31)
+    window_size: int = 14
+    prompt_embed_dim: int = 256
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class ElevationConfig(_ConfigBase):
+    """LoFTR elevation estimation (elevation_estimate/utils/elev_est_api.py)."""
+
+    match_size: int = 480
+    focal: float = 280.0
+    image_size: int = 256
+    coarse_min: int = 30
+    coarse_max: int = 150
+    coarse_step: int = 10
+    fine_span: int = 15
+    match_threshold: float = 0.2
+    default_elevation: float = 90.0  # fallback (run.py:32-36)
+
+
+@dataclass(frozen=True)
+class PipelineConfig(_ConfigBase):
+    """End-to-end image->mesh orchestration (run.py:99-119 semantics)."""
+
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    recon: ReconConfig = field(default_factory=ReconConfig)
+    sam: SamConfig = field(default_factory=SamConfig)
+    elevation: ElevationConfig = field(default_factory=ElevationConfig)
+    half_precision: bool = True
+    output_format: str = ".ply"
+    mesh_resolution: int = 256
+    seed: int = 0

@@ -1,0 +1,95 @@
+"""Build + load the native (C++) components via ctypes.
+
+The shared library is compiled on first use with g++ -O3 and cached next to
+the sources; loading falls back gracefully (callers use the numpy paths)
+when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libone2345_native.so")
+_SRC = [os.path.join(_DIR, "marching_tets.cpp")]
+
+_lib = None
+_load_failed = False
+
+
+def build(force: bool = False) -> str | None:
+    if os.path.exists(_SO) and not force:
+        newest_src = max(os.path.getmtime(s) for s in _SRC)
+        if os.path.getmtime(_SO) >= newest_src:
+            return _SO
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+            + _SRC
+            + ["-o", _SO],
+            check=True,
+            capture_output=True,
+        )
+        return _SO
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+def load() -> ctypes.CDLL | None:
+    global _lib, _load_failed
+    if _lib is not None:
+        return _lib
+    if _load_failed:
+        return None
+    so = build()
+    if so is None:
+        _load_failed = True
+        return None
+    lib = ctypes.CDLL(so)
+    lib.marching_tetrahedra_cpp.restype = ctypes.c_int
+    lib.marching_tetrahedra_cpp.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.free_mesh.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return _lib
+
+
+def marching_tetrahedra_native(field, threshold: float = 0.0):
+    """C++ marching tetrahedra; returns (verts [N,3], faces [M,3]) or None
+    when the native library is unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(field, dtype=np.float32)
+    X, Y, Z = f.shape
+    pv = ctypes.POINTER(ctypes.c_float)()
+    pf = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.marching_tetrahedra_cpp(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        X, Y, Z, ctypes.c_float(threshold),
+        ctypes.byref(pv), ctypes.byref(pf), ctypes.byref(nv), ctypes.byref(nf),
+    )
+    if rc != 0:
+        return None
+    verts = np.ctypeslib.as_array(pv, shape=(nv.value, 3)).copy()
+    faces = np.ctypeslib.as_array(pf, shape=(nf.value, 3)).copy()
+    lib.free_mesh(pv, pf)
+    return verts, faces

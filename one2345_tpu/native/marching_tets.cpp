@@ -1,0 +1,204 @@
+// Native isosurface extraction (marching tetrahedra) for the mesh-export
+// hot path — replaces the reference's PyMCubes C++ dependency
+// (sparse_neus_renderer.py:932) with an in-tree implementation.
+//
+// Contract matches one2345_tpu/recon/mesh_extract.py::marching_tetrahedra:
+// 6-tet decomposition around the 0-6 cube diagonal, vertices deduplicated
+// per grid edge, triangles oriented along the field gradient.
+//
+// Build: see one2345_tpu/native/build.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct V3 {
+    float x, y, z;
+};
+
+// cube corners (same numbering as mesh_extract._CORNERS)
+const int CORNERS[8][3] = {
+    {0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
+    {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1},
+};
+
+const int TETS[6][4] = {
+    {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
+    {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6},
+};
+
+// per-case triangle table; edges index pairs of tet vertices
+// edge ids: 0:ab 1:ac 2:ad 3:bc 4:bd 5:cd
+const int EDGE_V[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
+
+struct TetCase {
+    int n_tris;
+    int tris[2][3];  // edge ids
+};
+
+const TetCase TET_TABLE[16] = {
+    {0, {{0, 0, 0}, {0, 0, 0}}},                 // 0000
+    {1, {{0, 1, 2}, {0, 0, 0}}},                 // a
+    {1, {{0, 3, 4}, {0, 0, 0}}},                 // b
+    {2, {{1, 2, 4}, {1, 4, 3}}},                 // ab
+    {1, {{1, 3, 5}, {0, 0, 0}}},                 // c
+    {2, {{0, 2, 5}, {0, 5, 3}}},                 // ac
+    {2, {{0, 4, 5}, {0, 5, 1}}},                 // bc
+    {1, {{2, 4, 5}, {0, 0, 0}}},                 // abc
+    {1, {{2, 4, 5}, {0, 0, 0}}},                 // d
+    {2, {{0, 1, 5}, {0, 5, 4}}},                 // ad
+    {2, {{0, 3, 5}, {0, 5, 2}}},                 // bd
+    {1, {{1, 3, 5}, {0, 0, 0}}},                 // abd
+    {2, {{1, 3, 4}, {1, 4, 2}}},                 // cd
+    {1, {{0, 3, 4}, {0, 0, 0}}},                 // acd
+    {1, {{0, 1, 2}, {0, 0, 0}}},                 // bcd
+    {0, {{0, 0, 0}, {0, 0, 0}}},                 // abcd
+};
+
+inline int64_t vid(int x, int y, int z, int Y, int Z) {
+    return (static_cast<int64_t>(x) * Y + y) * Z + z;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Caller frees via free_mesh.
+int marching_tetrahedra_cpp(const float* field, int X, int Y, int Z,
+                            float threshold, float** out_verts,
+                            int32_t** out_faces, int64_t* n_verts,
+                            int64_t* n_faces) {
+    auto F = [&](int x, int y, int z) -> float {
+        return field[(static_cast<int64_t>(x) * Y + y) * Z + z];
+    };
+
+    std::unordered_map<uint64_t, int32_t> edge_map;
+    std::vector<float> verts;
+    std::vector<int32_t> faces;
+    edge_map.reserve(1 << 16);
+
+    auto edge_vertex = [&](int64_t ga, int64_t gb, float va, float vb) -> int32_t {
+        int64_t lo = ga < gb ? ga : gb;
+        int64_t hi = ga < gb ? gb : ga;
+        uint64_t key =
+            (static_cast<uint64_t>(lo) << 32) | static_cast<uint32_t>(hi);
+        auto it = edge_map.find(key);
+        if (it != edge_map.end()) return it->second;
+        // unflatten
+        auto unflat = [&](int64_t id, int* c) {
+            c[2] = static_cast<int>(id % Z);
+            c[1] = static_cast<int>((id / Z) % Y);
+            c[0] = static_cast<int>(id / (static_cast<int64_t>(Y) * Z));
+        };
+        int ca[3], cb[3];
+        unflat(lo, ca);
+        unflat(hi, cb);
+        float flo = F(ca[0], ca[1], ca[2]);
+        float fhi = F(cb[0], cb[1], cb[2]);
+        float d = fhi - flo;
+        float t = std::fabs(d) < 1e-12f ? 0.5f : (threshold - flo) / d;
+        t = t < 0.f ? 0.f : (t > 1.f ? 1.f : t);
+        int32_t idx = static_cast<int32_t>(verts.size() / 3);
+        verts.push_back(ca[0] + t * (cb[0] - ca[0]));
+        verts.push_back(ca[1] + t * (cb[1] - ca[1]));
+        verts.push_back(ca[2] + t * (cb[2] - ca[2]));
+        edge_map.emplace(key, idx);
+        return idx;
+    };
+
+    for (int x = 0; x < X - 1; ++x) {
+        for (int y = 0; y < Y - 1; ++y) {
+            for (int z = 0; z < Z - 1; ++z) {
+                float cv[8];
+                int64_t cid[8];
+                int inside = 0;
+                for (int c = 0; c < 8; ++c) {
+                    int cx = x + CORNERS[c][0];
+                    int cy = y + CORNERS[c][1];
+                    int cz = z + CORNERS[c][2];
+                    cv[c] = F(cx, cy, cz);
+                    cid[c] = vid(cx, cy, cz, Y, Z);
+                    if (cv[c] > threshold) ++inside;
+                }
+                if (inside == 0 || inside == 8) continue;
+                for (int t = 0; t < 6; ++t) {
+                    const int* tv = TETS[t];
+                    int code = 0;
+                    for (int k = 0; k < 4; ++k)
+                        if (cv[tv[k]] > threshold) code |= 1 << k;
+                    const TetCase& tc = TET_TABLE[code];
+                    for (int r = 0; r < tc.n_tris; ++r) {
+                        int32_t tri[3];
+                        bool degenerate = false;
+                        for (int e = 0; e < 3; ++e) {
+                            int eid = tc.tris[r][e];
+                            int a = tv[EDGE_V[eid][0]];
+                            int b = tv[EDGE_V[eid][1]];
+                            tri[e] = edge_vertex(cid[a], cid[b], cv[a], cv[b]);
+                        }
+                        if (tri[0] == tri[1] || tri[1] == tri[2] ||
+                            tri[0] == tri[2])
+                            degenerate = true;
+                        if (!degenerate) {
+                            faces.push_back(tri[0]);
+                            faces.push_back(tri[1]);
+                            faces.push_back(tri[2]);
+                        }
+                    }
+                }
+            }
+        }
+    }
+
+    // orient triangles along the field gradient (outward for occupancy)
+    int64_t nf = static_cast<int64_t>(faces.size() / 3);
+    for (int64_t i = 0; i < nf; ++i) {
+        int32_t* f3 = &faces[i * 3];
+        const float* p0 = &verts[f3[0] * 3];
+        const float* p1 = &verts[f3[1] * 3];
+        const float* p2 = &verts[f3[2] * 3];
+        float cx = (p0[0] + p1[0] + p2[0]) / 3.f;
+        float cy = (p0[1] + p1[1] + p2[1]) / 3.f;
+        float cz = (p0[2] + p1[2] + p2[2]) / 3.f;
+        int ix = static_cast<int>(cx + 0.5f);
+        int iy = static_cast<int>(cy + 0.5f);
+        int iz = static_cast<int>(cz + 0.5f);
+        ix = ix < 1 ? 1 : (ix > X - 2 ? X - 2 : ix);
+        iy = iy < 1 ? 1 : (iy > Y - 2 ? Y - 2 : iy);
+        iz = iz < 1 ? 1 : (iz > Z - 2 ? Z - 2 : iz);
+        float gx = (F(ix + 1, iy, iz) - F(ix - 1, iy, iz)) * 0.5f;
+        float gy = (F(ix, iy + 1, iz) - F(ix, iy - 1, iz)) * 0.5f;
+        float gz = (F(ix, iy, iz + 1) - F(ix, iy, iz - 1)) * 0.5f;
+        float e1x = p1[0] - p0[0], e1y = p1[1] - p0[1], e1z = p1[2] - p0[2];
+        float e2x = p2[0] - p0[0], e2y = p2[1] - p0[1], e2z = p2[2] - p0[2];
+        float nx = e1y * e2z - e1z * e2y;
+        float ny = e1z * e2x - e1x * e2z;
+        float nz = e1x * e2y - e1y * e2x;
+        if (nx * gx + ny * gy + nz * gz < 0.f) {
+            int32_t tmp = f3[1];
+            f3[1] = f3[2];
+            f3[2] = tmp;
+        }
+    }
+
+    *n_verts = static_cast<int64_t>(verts.size() / 3);
+    *n_faces = nf;
+    *out_verts = static_cast<float*>(std::malloc(verts.size() * sizeof(float)));
+    *out_faces =
+        static_cast<int32_t*>(std::malloc(faces.size() * sizeof(int32_t)));
+    std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
+    std::memcpy(*out_faces, faces.data(), faces.size() * sizeof(int32_t));
+    return 0;
+}
+
+void free_mesh(float* verts, int32_t* faces) {
+    std::free(verts);
+    std::free(faces);
+}
+
+}  // extern "C"

@@ -1,0 +1,62 @@
+"""CLI entry point — flag-compatible with the reference's run.py:99-119.
+
+    python -m one2345_tpu.pipeline.cli --img_path input.png \
+        --half_precision --mesh_resolution 256 --output_format .ply
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="One-2-3-45 TPU: image -> textured mesh")
+    p.add_argument("--img_path", type=str, required=True, help="Path to the input image")
+    p.add_argument("--gpu_idx", type=int, default=0, help="(compat; device choice is automatic)")
+    p.add_argument("--half_precision", action="store_true", help="bf16 compute")
+    p.add_argument("--mesh_resolution", type=int, default=256)
+    p.add_argument("--output_format", type=str, default=".ply", choices=[".ply", ".obj", ".glb"])
+    p.add_argument("--out_dir", type=str, default=None, help="default: ./exp/<name>")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--params", type=str, default=None, help="orbax checkpoint dir with stage params")
+    p.add_argument("--no_sam", action="store_true", help="alpha/threshold segmentation instead of SAM")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+    from PIL import Image
+
+    from one2345_tpu.core.config import PipelineConfig
+    from one2345_tpu.pipeline.runner import One2345Pipeline
+
+    cfg = PipelineConfig(half_precision=args.half_precision, seed=args.seed)
+    params = None
+    if args.params:
+        from one2345_tpu.core import checkpoint
+
+        params = checkpoint.restore(args.params)
+
+    shape_id = os.path.splitext(os.path.basename(args.img_path))[0]
+    out_dir = args.out_dir or os.path.join("exp", shape_id)
+
+    pipeline = One2345Pipeline(cfg, params, use_sam=not args.no_sam)
+    image = np.asarray(Image.open(args.img_path).convert("RGBA"))
+    result = pipeline.run(
+        image,
+        out_dir=out_dir,
+        mesh_resolution=args.mesh_resolution,
+        output_format=args.output_format,
+        seed=args.seed,
+    )
+    print("Mesh saved to:", result.mesh_path)
+    print(json.dumps({"elevation": result.elevation, "timings": result.timings}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

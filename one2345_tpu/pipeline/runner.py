@@ -1,0 +1,259 @@
+"""End-to-end single-image -> textured-mesh pipeline.
+
+Parity target: run.py (preprocess -> stage1_run -> stage2_run ->
+reconstruct, run.py:79-119) and the demo orchestration (demo/app.py).
+
+TPU re-design vs the reference:
+- no subprocesses, no PNG round-trips between stages: all four ML stages are
+  in-process jitted programs exchanging device arrays (artifact PNGs +
+  pose.json are *optional exports* for compatibility);
+- stage-1 always samples all 12 candidate views in one batch (identical
+  shapes regardless of the elevation branch -> zero recompilation across
+  inputs; the reference re-runs 4-view batches per branch);
+- stage-2 samples all 8x4 views in one batch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import numpy as np
+
+from one2345_tpu.core.config import PipelineConfig
+from one2345_tpu.core.profiling import Timer
+from one2345_tpu.geometry import cameras as cam
+from one2345_tpu.utils import image as img_utils
+
+
+@dataclass
+class PipelineResult:
+    mesh_path: str | None
+    vertices: np.ndarray
+    faces: np.ndarray
+    colors: np.ndarray
+    elevation: float
+    stage1_images: np.ndarray  # [8, 256, 256, 3]
+    stage2_images: np.ndarray  # [8, 4, 256, 256, 3]
+    timings: dict = field(default_factory=dict)
+
+
+class One2345Pipeline:
+    """Lazy-constructed stages; each stage jits once per process."""
+
+    def __init__(
+        self,
+        config: PipelineConfig | None = None,
+        params: dict | None = None,
+        use_sam: bool = True,
+    ):
+        self.config = config or PipelineConfig()
+        params = params or {}
+        self._params = params
+        self.use_sam = use_sam
+        self._zero123 = None
+        self._recon = None
+        self._sam = None
+        self._elev = None
+
+    # lazy stage constructors -------------------------------------------------
+    @property
+    def zero123(self):
+        if self._zero123 is None:
+            from one2345_tpu.diffusion.zero123 import Zero123Stage
+
+            self._zero123 = Zero123Stage(
+                self.config.diffusion, self._params.get("zero123")
+            )
+        return self._zero123
+
+    @property
+    def recon(self):
+        if self._recon is None:
+            from one2345_tpu.recon.pipeline import ReconStage
+
+            self._recon = ReconStage(self.config.recon, self._params.get("recon"))
+        return self._recon
+
+    @property
+    def sam(self):
+        if self._sam is None:
+            from one2345_tpu.segmentation.sam import SamStage
+
+            self._sam = SamStage(self.config.sam, self._params.get("sam"))
+        return self._sam
+
+    @property
+    def elevation_estimator(self):
+        if self._elev is None:
+            from one2345_tpu.elevation.loftr import LoFTRMatcher
+            from one2345_tpu.elevation.solver import ElevationEstimator
+
+            matcher = LoFTRMatcher(self._params.get("loftr"))
+            self._elev = ElevationEstimator(
+                matcher,
+                focal=self.config.elevation.focal,
+                image_size=self.config.elevation.image_size,
+            )
+        return self._elev
+
+    # stages ------------------------------------------------------------------
+    def preprocess(self, raw_image: np.ndarray) -> np.ndarray:
+        """uint8 RGB(A) -> [256, 256, 3] float [0,1] recentered on white
+        (run.py preprocess: thumbnail 512 -> SAM bbox segment -> recenter)."""
+        from PIL import Image
+
+        pil = Image.fromarray(raw_image)
+        pil = img_utils.thumbnail(pil, 512)
+        arr = np.asarray(pil)
+        if arr.shape[-1] == 4:
+            rgb = (img_utils.composite_white(arr.astype(np.float32) / 255.0) * 255).astype(np.uint8)
+        else:
+            rgb = arr
+        if self.use_sam:
+            bbox = img_utils.estimate_bbox(rgb)
+            mask = self.sam.segment_bbox(rgb, bbox)
+        else:
+            bg = ~np.all(rgb > 245, axis=-1)
+            mask = bg
+            if arr.shape[-1] == 4:
+                mask = arr[..., 3] > 0
+        rgba = np.concatenate([rgb, (mask[..., None] * 255).astype(np.uint8)], axis=-1)
+        return img_utils.recenter_rescale(
+            rgba, out_size=self.config.diffusion.image_size
+        )
+
+    def run(
+        self,
+        image: np.ndarray,
+        out_dir: str | None = None,
+        mesh_resolution: int | None = None,
+        output_format: str | None = None,
+        seed: int | None = None,
+        skip_preprocess: bool = False,
+    ) -> PipelineResult:
+        """Full image -> textured mesh (predict_multiview + reconstruct)."""
+        cfg = self.config
+        timer = Timer()
+        key = jax.random.key(cfg.seed if seed is None else seed)
+        k_s1, k_s2e, k_s2 = jax.random.split(key, 3)
+
+        with timer.span("preprocess"):
+            input_256 = image if skip_preprocess else self.preprocess(image)
+
+        # ---- stage 1: all 12 candidate views in one batch (8 used)
+        with timer.span("stage1"):
+            s1_all = np.asarray(self.zero123.stage1(input_256, k_s1))  # [12, ...]
+
+        # ---- stage 2 for view 0 (elevation estimation input, run.py:28-30)
+        with timer.span("stage2_view0"):
+            s2_v0 = np.asarray(
+                self.zero123.stage2(s1_all[:1], k_s2e, steps=cfg.diffusion.ddim_steps_stage2)
+            )  # [1, 4, ...]
+
+        with timer.span("elevation"):
+            polar = self.estimate_elevation(s2_v0[0])
+
+        # select the 8 stage-1 views for this elevation (run.py:40-44)
+        if polar <= 75:
+            sel = list(range(8))
+        else:
+            sel = list(range(4)) + list(range(8, 12))
+        stage1_images = s1_all[sel]
+
+        # ---- stage 2 for the remaining 7 views (run.py stage2_run)
+        with timer.span("stage2"):
+            rest = np.asarray(
+                self.zero123.stage2(
+                    stage1_images[1:], k_s2, steps=cfg.diffusion.ddim_steps_stage2
+                )
+            )  # [7, 4, ...]
+        stage2_images = np.concatenate([s2_v0, rest], axis=0)  # [8, 4, ...]
+
+        # ---- reconstruction
+        with timer.span("reconstruct"):
+            camera_pack = cam.build_recon_cameras(polar)
+            src_images = stage2_images.reshape(-1, *stage2_images.shape[2:])  # [32,...]
+            mesh_path = None
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+                mesh_path = os.path.join(out_dir, "mesh.ply")
+            mesh = self.recon.reconstruct(
+                src_images,
+                camera_pack,
+                resolution=mesh_resolution or cfg.mesh_resolution,
+                out_path=mesh_path,
+            )
+
+        if out_dir:
+            self.export_artifacts(out_dir, polar, stage1_images, stage2_images, sel)
+            fmt = output_format or cfg.output_format
+            if fmt in (".obj", ".glb"):
+                mesh_path = self.convert_mesh(out_dir, mesh, fmt)
+
+        return PipelineResult(
+            mesh_path=mesh_path,
+            vertices=mesh["vertices"],
+            faces=mesh["faces"],
+            colors=mesh["colors"],
+            elevation=90.0 - polar,
+            stage1_images=stage1_images,
+            stage2_images=stage2_images,
+            timings=timer.report(),
+        )
+
+    def estimate_elevation(self, nearby_views: np.ndarray) -> float:
+        """[4, 256, 256, 3] -> polar angle deg; falls back to 90
+        (run.py:32-36 try/except)."""
+        try:
+            est = self.elevation_estimator.estimate(nearby_views)
+        except Exception:
+            est = None
+        return float(int(est)) if est is not None else self.config.elevation.default_elevation
+
+    # artifact exports (reference-compatible layout) --------------------------
+    def export_artifacts(self, out_dir, polar, stage1_images, stage2_images, sel):
+        """stage1_8/{i}.png, stage2_8/{i}_{j}.png, pose.json — the exact
+        filesystem contract of the reference (SURVEY data-flow table)."""
+        from PIL import Image
+
+        s1_dir = os.path.join(out_dir, "stage1_8")
+        s2_dir = os.path.join(out_dir, "stage2_8")
+        os.makedirs(s1_dir, exist_ok=True)
+        os.makedirs(s2_dir, exist_ok=True)
+        for k, i in enumerate(sel):
+            Image.fromarray((stage1_images[k] * 255).astype(np.uint8)).save(
+                os.path.join(s1_dir, f"{i}.png")
+            )
+            for j in range(4):
+                Image.fromarray((stage2_images[k, j] * 255).astype(np.uint8)).save(
+                    os.path.join(s2_dir, f"{i}_{j}.png")
+                )
+        cam.write_pose_json(out_dir, polar)
+
+    def convert_mesh(self, out_dir, mesh, fmt: str) -> str:
+        from one2345_tpu.recon import mesh_extract
+
+        v, f = mesh_extract.convert_mesh_axes(mesh["vertices"], mesh["faces"])
+        path = os.path.join(out_dir, f"mesh{fmt}")
+        if fmt == ".obj":
+            save_obj(path, v, f, mesh["colors"])
+        else:
+            mesh_extract.save_ply(  # glb export lands with the asset pipeline
+                os.path.join(out_dir, "mesh_converted.ply"), v, f,
+                (mesh["colors"] * 255).astype(np.uint8),
+            )
+            path = os.path.join(out_dir, "mesh_converted.ply")
+        return path
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray, colors: np.ndarray):
+    """OBJ with per-vertex colors (trimesh include_color=True format)."""
+    with open(path, "w") as f:
+        for v, c in zip(verts, colors):
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n")
+        for tri in faces + 1:
+            f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")

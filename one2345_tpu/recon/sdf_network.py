@@ -1,0 +1,247 @@
+"""Cost-volume conditioned SDF network (generalizable SparseNeuS, lod0).
+
+Parity target: reconstruction/models/sparse_sdf_network.py —
+`SparseSdfNetwork` (:139-540) and `LatentSDFLayer` (:35-136), re-designed
+dense/fixed-shape for TPU:
+
+- the frustum-culled sparse voxel list becomes a dense 96^3 lattice with an
+  occupancy mask (no dynamic shapes);
+- the per-view feature fetch accumulates sum / sum-of-squares over a
+  `lax.scan` across views instead of materializing the [N_vox, V, C] tensor
+  (HBM-bandwidth-friendly: keeps the working set at ~100MB instead of ~2GB);
+- torchsparse SparseCostRegNet -> dense masked CostRegNet (costreg.py);
+- autograd.grad eikonal normals -> `jax.grad` of the (natively
+  twice-differentiable) sdf function.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from one2345_tpu.geometry.projection import project_points
+from one2345_tpu.geometry.sampling import bilinear_sample, trilinear_sample
+from one2345_tpu.nn.layers import ConvBnAct, WNDense, positional_encoding
+
+
+def softplus100(x):
+    """Softplus with beta=100 (sparse_sdf_network.py:106-107), numerically
+    stable: softplus(100x)/100."""
+    return jax.nn.softplus(100.0 * x) / 100.0
+
+
+class LatentSDFLayer(nn.Module):
+    """SDF MLP conditioned on a per-point latent code.
+
+    4 layers (3 linears), hidden 128, positional encoding multires 6
+    (in 3 -> 39), latent (16ch) concatenated to every hidden layer input,
+    geometric (IDR) initialization, weight norm, softplus(beta=100).
+    Output: [.., 1 + hidden] = (sdf, geometry features).
+    """
+
+    d_hidden: int = 128
+    n_layers: int = 4
+    multires: int = 6
+    d_latent: int = 16
+    bias: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pts, latent):
+        # pts: [..., 3] in the normalized volume space; latent: [..., d_latent]
+        emb = positional_encoding(pts, self.multires)
+        d_in = emb.shape[-1]
+        h = self.d_hidden
+
+        def init_first(key, shape):
+            # weight[:, :3] ~ N(0, sqrt(2)/sqrt(out)); positional-encoding
+            # columns zeroed (sparse_sdf_network.py:83-88). shape=(in, out)
+            w = jnp.zeros(shape)
+            std = np.sqrt(2) / np.sqrt(shape[1])
+            w = w.at[:3, :].set(jax.random.normal(key, (3, shape[1])) * std)
+            return w
+
+        def init_mid(key, shape):
+            # N(0, sqrt(2)/sqrt(out)) with latent columns zeroed (:94-98)
+            std = np.sqrt(2) / np.sqrt(shape[1])
+            w = jax.random.normal(key, shape) * std
+            return w.at[-self.d_latent:, :].set(0.0)
+
+        def init_last(key, shape):
+            # N(mean=sqrt(pi)/sqrt(in), std=1e-4), latent columns zeroed (:76-81)
+            mean = np.sqrt(np.pi) / np.sqrt(shape[0])
+            w = mean + jax.random.normal(key, shape) * 1e-4
+            return w.at[-self.d_latent:, :].set(0.0)
+
+        def init_last_bias(key, shape):
+            b = jnp.full(shape, -self.bias)
+            return b.at[-self.d_latent:].set(0.0)
+
+        x = emb
+        # l = 0
+        x = WNDense(h, kernel_init=init_first, dtype=self.dtype, name="lin0")(x)
+        x = softplus100(x)
+        # middle layers l = 1 .. n_layers-3 (latent concat, activated)
+        for l in range(1, self.n_layers - 2):
+            x = jnp.concatenate([x, latent], axis=-1)
+            x = WNDense(h, kernel_init=init_mid, dtype=self.dtype, name=f"lin{l}")(x)
+            x = softplus100(x)
+        # last layer l = n_layers-2 (latent concat, no activation)
+        x = jnp.concatenate([x, latent], axis=-1)
+        x = WNDense(
+            h + 1,
+            kernel_init=init_last,
+            bias_init=init_last_bias,
+            dtype=self.dtype,
+            name=f"lin{self.n_layers - 2}",
+        )(x)
+        return x
+
+
+class SingleVarianceNetwork(nn.Module):
+    """Learnable scalar s; inv_variance = exp(10 s) (models/fields.py:179-185)."""
+
+    init_val: float = 0.2
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("variance", lambda k: jnp.asarray(self.init_val, jnp.float32))
+        return jnp.exp(10.0 * s)
+
+
+class SdfVolumeNetwork(nn.Module):
+    """Feature compression + cost volume + regularization + SDF MLP.
+
+    ``build_volume`` produces the conditional feature volume from per-view
+    fused pyramid features; ``sdf`` evaluates (sdf, features) at points.
+    """
+
+    vol_dims: tuple = (96, 96, 96)
+    voxel_size: float = 2.0 / 95.0
+    origin: tuple = (-1.0, -1.0, -1.0)
+    d_compress: int = 16
+    regnet_d_out: int = 16
+    hidden_dim: int = 128
+    num_sdf_layers: int = 4
+    multires: int = 6
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from one2345_tpu.recon.costreg import CostRegNet
+
+        self.compress = ConvBnAct(self.d_compress, (3, 3), dtype=self.dtype, name="compress")
+        self.costreg = CostRegNet(d_out=self.regnet_d_out, dtype=self.dtype, name="costreg")
+        self.sdf_layer = LatentSDFLayer(
+            d_hidden=self.hidden_dim,
+            n_layers=self.num_sdf_layers,
+            multires=self.multires,
+            d_latent=self.regnet_d_out,
+            dtype=self.dtype,
+            name="sdf_layer",
+        )
+
+    def __call__(self, feature_maps, projs, size_hw=(256, 256)):
+        """Init helper: traces every submodule (build_volume + sdf_layer)."""
+        out = self.build_volume(feature_maps, projs, size_hw)
+        sdf, _ = self.sdf(jnp.zeros((8, 3)), out["volume"])
+        return out, sdf
+
+    def voxel_world_coords(self) -> jnp.ndarray:
+        """[X,Y,Z,3] world coordinates of voxel centers."""
+        X, Y, Z = self.vol_dims
+        gx, gy, gz = jnp.meshgrid(
+            jnp.arange(X, dtype=jnp.float32),
+            jnp.arange(Y, dtype=jnp.float32),
+            jnp.arange(Z, dtype=jnp.float32),
+            indexing="ij",
+        )
+        coords = jnp.stack([gx, gy, gz], axis=-1)
+        return coords * self.voxel_size + jnp.asarray(self.origin)
+
+    def build_volume(
+        self,
+        feature_maps: jnp.ndarray,
+        projs: jnp.ndarray,
+        size_hw: tuple[int, int] = (256, 256),
+        train: bool = False,
+    ) -> dict:
+        """Conditional volume from fused pyramid features.
+
+        :param feature_maps: [V, H, W, 56] fused pyramid features
+        :param projs: [V, 4, 4] affine projection mats (K @ w2c, normalized space)
+        :return: dict with 'volume' [X,Y,Z,regnet_d_out], 'mask' [X,Y,Z,1]
+
+        Mirrors get_conditional_volume (sparse_sdf_network.py:286-400): 2D
+        compression, frustum culling (>=2 views), variance+mean aggregation,
+        sparse U-Net regularization.
+        """
+        feats = self.compress(feature_maps, train)  # [V, H, W, C]
+        V = feats.shape[0]
+        C = feats.shape[-1]
+        pts = self.voxel_world_coords()  # [X,Y,Z,3]
+        X, Y, Z = pts.shape[:3]
+        pts_flat = pts.reshape(-1, 3)
+        sH, sW = size_hw
+        fH, fW = feats.shape[1], feats.shape[2]
+
+        def view_step(carry, inp):
+            s, ss, cnt = carry
+            feat, proj = inp
+            x, y, z = project_points(pts_flat, proj)
+            gx = 2.0 * x / (sW - 1) - 1.0
+            gy = 2.0 * y / (sH - 1) - 1.0
+            mask = (jnp.abs(gx) <= 1.0) & (jnp.abs(gy) <= 1.0) & (z > 0)
+            px = (gx + 1.0) * 0.5 * (fW - 1)
+            py = (gy + 1.0) * 0.5 * (fH - 1)
+            f = bilinear_sample(feat, px, py, padding="zeros")  # [N, C]
+            return (s + f, ss + f * f, cnt + mask.astype(jnp.float32)), None
+
+        init = (
+            jnp.zeros((pts_flat.shape[0], C), feats.dtype),
+            jnp.zeros((pts_flat.shape[0], C), feats.dtype),
+            jnp.zeros((pts_flat.shape[0],), jnp.float32),
+        )
+        (vol_sum, vol_sq, counts), _ = jax.lax.scan(view_step, init, (feats, projs))
+
+        valid = counts >= 2.0  # minimum_visible_views culling (:330-334)
+        inv = (1.0 / (counts + 1e-5))[:, None].astype(feats.dtype)
+        mean = vol_sum * inv
+        var = vol_sq * inv - mean * mean
+        cost = jnp.concatenate([var, mean], axis=-1)  # [N, 2C]
+        cost = cost * valid[:, None].astype(cost.dtype)
+
+        volume = cost.reshape(X, Y, Z, 2 * C)
+        mask = valid.reshape(X, Y, Z, 1)
+        out = self.costreg(volume, mask, train)  # [X,Y,Z,d_out]
+        return {"volume": out, "mask": mask.astype(jnp.float32)}
+
+    def sdf(self, pts: jnp.ndarray, volume: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Evaluate the SDF at normalized points.
+
+        :param pts: [..., 3] in [-1, 1] (the normalized volume spans the
+            unit cube exactly: origin -1, extent 95 * 2/95 = 2)
+        :param volume: [X, Y, Z, C] conditional volume
+        :return: (sdf [..., 1], features [..., hidden])
+        """
+        latent = trilinear_sample(volume, pts, padding="zeros")
+        out = self.sdf_layer(pts, latent)
+        return out[..., :1], out[..., 1:]
+
+    def sdf_and_gradient(
+        self, pts: jnp.ndarray, volume: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(sdf, features, d sdf / d pts) — `jax.grad` replaces the
+        reference's autograd.grad(create_graph=True) (sparse_sdf_network.py:
+        476-499); the result remains differentiable for the eikonal loss."""
+
+        def f(p):
+            s, feat = self.sdf(p, volume)
+            return jnp.sum(s), (s, feat)
+
+        grads, (s, feat) = jax.grad(f, has_aux=True)(pts)
+        return s, feat, grads

@@ -1,0 +1,359 @@
+"""Segment Anything (ViT-H) in JAX — bbox-prompted foreground segmentation.
+
+Parity target: the external `segment-anything` package as used by
+utils/sam_utils.py:9-37 (sam_init / sam_out_nosave): ViT-H image encoder at
+1024^2, box prompt, multimask output, alpha = third mask.  Weights come from
+sam_vit_h_4b8939.pth (download_ckpt.py:22) via utils/convert_weights.py.
+
+TPU design: the encoder is one jit over the full 64x64 token grid; windowed
+attention (window 14, global at blocks 7/15/23/31) is realized by reshaping
+to window batches — all shapes static.  Decomposed relative position bias
+matches the reference encoder.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from one2345_tpu.core.config import SamConfig
+
+SAM_PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+SAM_PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def _rel_pos_bias(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarray:
+    """[q, k, head_dim] decomposed relative position embeddings (SAM
+    get_rel_pos): rel_pos is [2*max-1, head_dim], interpolation skipped since
+    q_size == k_size == trained size for our fixed shapes."""
+    coords = jnp.arange(q_size)[:, None] - jnp.arange(k_size)[None, :] + (k_size - 1)
+    return rel_pos[coords]
+
+
+class SamAttention(nn.Module):
+    dim: int
+    heads: int
+    input_size: int  # token grid side for rel-pos
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, H, W, C] token grid (possibly window batches)."""
+        B, H, W, C = x.shape
+        dh = self.dim // self.heads
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, self.heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        rel_h = self.param(
+            "rel_pos_h", nn.initializers.zeros, (2 * self.input_size - 1, dh)
+        )
+        rel_w = self.param(
+            "rel_pos_w", nn.initializers.zeros, (2 * self.input_size - 1, dh)
+        )
+        Rh = _rel_pos_bias(rel_h, H, H).astype(self.dtype)  # [H, H, dh]
+        Rw = _rel_pos_bias(rel_w, W, W).astype(self.dtype)  # [W, W, dh]
+        qg = q.reshape(B, H, W, self.heads, dh)
+        bias_h = jnp.einsum("bhwnd,hkd->bnhwk", qg, Rh)  # [B, n, H, W, Hk]
+        bias_w = jnp.einsum("bhwnd,wkd->bnhwk", qg, Rw)  # [B, n, H, W, Wk]
+        bias = (
+            bias_h[..., :, None] + bias_w[..., None, :]
+        ).reshape(B, self.heads, H * W, H * W)
+
+        o = jax.nn.dot_product_attention(
+            q, k, v, bias=bias, scale=1.0 / np.sqrt(dh)
+        )
+        o = o.reshape(B, H, W, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(o)
+
+
+class SamBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int  # 0 = global
+    grid: int  # full token grid side (64)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        shortcut = x
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        if self.window > 0:
+            w = self.window
+            pad = (w - H % w) % w
+            hp = jnp.pad(h, ((0, 0), (0, pad), (0, pad), (0, 0)))
+            Hp = H + pad
+            nw = Hp // w
+            hp = hp.reshape(B, nw, w, nw, w, C).transpose(0, 1, 3, 2, 4, 5)
+            hp = hp.reshape(B * nw * nw, w, w, C)
+            hp = SamAttention(self.dim, self.heads, w, self.dtype, name="attn")(hp)
+            hp = hp.reshape(B, nw, nw, w, w, C).transpose(0, 1, 3, 2, 4, 5)
+            h = hp.reshape(B, Hp, Hp, C)[:, :H, :W]
+        else:
+            h = SamAttention(self.dim, self.heads, self.grid, self.dtype, name="attn")(h)
+        x = shortcut + h
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.Dense(self.dim * 4, dtype=self.dtype, name="mlp_lin1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_lin2")(h)
+        return x + h
+
+
+class LayerNorm2d(nn.Module):
+    """Channel-wise LayerNorm over the last axis of [B, H, W, C] without
+    normalizing spatial dims (SAM's LayerNorm2d)."""
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        b = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-6).astype(x.dtype)
+        return y * w + b
+
+
+class SamImageEncoder(nn.Module):
+    cfg: SamConfig
+
+    @nn.compact
+    def __call__(self, x):
+        """[B, 1024, 1024, 3] normalized -> [B, 64, 64, 256] embedding."""
+        c = self.cfg
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        grid = c.image_size // c.patch_size
+        h = nn.Conv(
+            c.encoder_dim, (c.patch_size,) * 2, (c.patch_size,) * 2, dtype=dt,
+            name="patch_embed",
+        )(x.astype(dt))
+        pos = self.param(
+            "pos_embed", nn.initializers.zeros, (1, grid, grid, c.encoder_dim)
+        )
+        h = h + pos.astype(dt)
+        for i in range(c.encoder_depth):
+            win = 0 if i in c.global_attn_indexes else c.window_size
+            h = SamBlock(
+                c.encoder_dim, c.encoder_heads, win, grid, dt, name=f"block_{i}"
+            )(h)
+        h = nn.Conv(c.prompt_embed_dim, (1, 1), use_bias=False, dtype=dt, name="neck_conv1")(h)
+        h = LayerNorm2d(name="neck_ln1")(h)
+        h = nn.Conv(
+            c.prompt_embed_dim, (3, 3), padding="SAME", use_bias=False, dtype=dt,
+            name="neck_conv2",
+        )(h)
+        h = LayerNorm2d(name="neck_ln2")(h)
+        return h.astype(jnp.float32)
+
+
+class MLP(nn.Module):
+    hidden: int
+    out: int
+    layers: int
+    sigmoid_out: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers - 1):
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name=f"lin{i}")(x))
+        x = nn.Dense(self.out, dtype=self.dtype, name=f"lin{self.layers-1}")(x)
+        return jax.nn.sigmoid(x) if self.sigmoid_out else x
+
+
+class TwoWayAttention(nn.Module):
+    dim: int
+    heads: int
+    downsample: int = 1
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        inner = self.dim // self.downsample
+        dh = inner // self.heads
+        B, Tq, _ = q.shape
+        Tk = k.shape[1]
+        qh = nn.Dense(inner, name="q_proj")(q).reshape(B, Tq, self.heads, dh)
+        kh = nn.Dense(inner, name="k_proj")(k).reshape(B, Tk, self.heads, dh)
+        vh = nn.Dense(inner, name="v_proj")(v).reshape(B, Tk, self.heads, dh)
+        o = jax.nn.dot_product_attention(qh, kh, vh).reshape(B, Tq, inner)
+        return nn.Dense(self.dim, name="out_proj")(o)
+
+
+class TwoWayBlock(nn.Module):
+    dim: int
+    heads: int
+    skip_first_pe: bool = False
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe):
+        if self.skip_first_pe:
+            q = TwoWayAttention(self.dim, self.heads, name="self_attn")(
+                queries, queries, queries
+            )
+        else:
+            qq = queries + query_pe
+            q = TwoWayAttention(self.dim, self.heads, name="self_attn")(
+                qq, qq, queries
+            )
+        queries = nn.LayerNorm(name="norm1")(queries + q)
+
+        qq = queries + query_pe
+        kk = keys + key_pe
+        a = TwoWayAttention(self.dim, self.heads, 2, name="cross_attn_t2i")(qq, kk, keys)
+        queries = nn.LayerNorm(name="norm2")(queries + a)
+
+        m = nn.Dense(2048, name="mlp_lin1")(queries)
+        m = nn.Dense(self.dim, name="mlp_lin2")(nn.relu(m))
+        queries = nn.LayerNorm(name="norm3")(queries + m)
+
+        qq = queries + query_pe
+        a = TwoWayAttention(self.dim, self.heads, 2, name="cross_attn_i2t")(kk, qq, queries)
+        keys = nn.LayerNorm(name="norm4")(keys + a)
+        return queries, keys
+
+
+class SamMaskDecoder(nn.Module):
+    """TwoWayTransformer(depth 2) + upscaling + hypernetwork mask heads."""
+
+    dim: int = 256
+    heads: int = 8
+    num_mask_tokens: int = 4  # 1 + multimask 3
+
+    @nn.compact
+    def __call__(self, image_embed, image_pe, sparse_prompt):
+        """
+        :param image_embed: [1, 64, 64, 256]; :param image_pe: same shape
+        :param sparse_prompt: [1, P, 256] (box corner tokens)
+        :return: (masks [1, num_mask_tokens, 256, 256], iou [1, num_mask_tokens])
+        """
+        B = image_embed.shape[0]
+        iou_token = self.param("iou_token", nn.initializers.normal(1.0), (1, self.dim))
+        mask_tokens = self.param(
+            "mask_tokens", nn.initializers.normal(1.0), (self.num_mask_tokens, self.dim)
+        )
+        tokens = jnp.concatenate([iou_token, mask_tokens], axis=0)[None]
+        tokens = jnp.broadcast_to(tokens, (B,) + tokens.shape[1:])
+        tokens = jnp.concatenate([tokens, sparse_prompt], axis=1)  # [B, T, C]
+
+        src = image_embed.reshape(B, -1, self.dim)
+        pe = image_pe.reshape(B, -1, self.dim)
+
+        q, k = tokens, src
+        q, k = TwoWayBlock(self.dim, self.heads, True, name="layer0")(q, k, tokens, pe)
+        q, k = TwoWayBlock(self.dim, self.heads, False, name="layer1")(q, k, tokens, pe)
+        qq = q + tokens
+        kk = k + pe
+        a = TwoWayAttention(self.dim, self.heads, 2, name="final_attn")(qq, kk, k)
+        q = nn.LayerNorm(name="norm_final")(q + a)
+
+        iou_out = q[:, 0]
+        mask_out = q[:, 1 : 1 + self.num_mask_tokens]
+
+        # upscale image features 64 -> 256
+        h = k.reshape(B, 64, 64, self.dim)
+        h = nn.ConvTranspose(self.dim // 4, (2, 2), (2, 2), name="upscale_conv1")(h)
+        h = LayerNorm2d(name="upscale_ln")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.ConvTranspose(self.dim // 8, (2, 2), (2, 2), name="upscale_conv2")(h)
+        h = nn.gelu(h, approximate=False)  # [B, 256, 256, 32]
+
+        hyper = jnp.stack(
+            [
+                MLP(self.dim, self.dim // 8, 3, name=f"hyper_{i}")(mask_out[:, i])
+                for i in range(self.num_mask_tokens)
+            ],
+            axis=1,
+        )  # [B, M, 32]
+        masks = jnp.einsum("bmc,bhwc->bmhw", hyper, h)
+        iou = MLP(self.dim, self.num_mask_tokens, 3, name="iou_head")(iou_out)
+        return masks, iou
+
+
+def position_encoding_grid(pe_gaussian: np.ndarray, size: int) -> jnp.ndarray:
+    """[size, size, 256] random-fourier position encoding grid
+    (SAM PositionEmbeddingRandom.forward)."""
+    coords = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    gy, gx = jnp.meshgrid(coords, coords, indexing="ij")
+    xy = jnp.stack([gx, gy], axis=-1) * 2.0 - 1.0
+    proj = xy @ pe_gaussian  # [H, W, 128]
+    proj = 2 * jnp.pi * proj
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+def encode_point(pe_gaussian, pts: jnp.ndarray, size: float) -> jnp.ndarray:
+    """Points [..., 2] in pixel coords -> [..., 256] fourier features."""
+    xy = (pts + 0.5) / size * 2.0 - 1.0
+    proj = 2 * jnp.pi * (xy @ pe_gaussian)
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+class SamStage:
+    """set_image + bbox predict, mirroring SamPredictor usage in
+    utils/sam_utils.py:19-37 (mask = third multimask output)."""
+
+    def __init__(self, config: SamConfig | None = None, params=None, seed: int = 0):
+        self.config = config or SamConfig()
+        self.encoder = SamImageEncoder(self.config)
+        self.decoder = SamMaskDecoder(dim=self.config.prompt_embed_dim)
+        self.params = params if params is not None else self.init_params(jax.random.key(seed))
+
+    def init_params(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        c = self.config
+        enc_vars = jax.jit(self.encoder.init)(
+            k1, jnp.zeros((1, c.image_size, c.image_size, 3))
+        )
+        grid = c.image_size // c.patch_size
+        dec_vars = jax.jit(self.decoder.init)(
+            k2,
+            jnp.zeros((1, grid, grid, c.prompt_embed_dim)),
+            jnp.zeros((1, grid, grid, c.prompt_embed_dim)),
+            jnp.zeros((1, 2, c.prompt_embed_dim)),
+        )
+        extra = {
+            "pe_gaussian": jax.random.normal(k3, (2, c.prompt_embed_dim // 2)),
+            # box corner embeddings (point_embeddings[2], [3] in SAM)
+            "box_embed": jax.random.normal(k3, (2, c.prompt_embed_dim)) * 0.02,
+        }
+        return {"encoder": enc_vars, "decoder": dec_vars, "extra": extra}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _predict(self, params, image, box):
+        c = self.config
+        emb = self.encoder.apply(params["encoder"], image[None])  # [1,64,64,256]
+        pe_g = params["extra"]["pe_gaussian"]
+        grid = c.image_size // c.patch_size
+        image_pe = position_encoding_grid(pe_g, grid)[None]
+        corners = box.reshape(2, 2)
+        sparse = encode_point(pe_g, corners, float(c.image_size))
+        sparse = sparse + params["extra"]["box_embed"]
+        masks, iou = self.decoder.apply(params["decoder"], emb, image_pe, sparse[None])
+        return masks[0], iou[0]
+
+    def segment_bbox(self, image: np.ndarray, bbox) -> np.ndarray:
+        """:param image: [H, W, 3] uint8; :param bbox: (x0, y0, x1, y1)
+        :return: [H, W] bool foreground mask (third multimask output,
+        sam_utils.py:35)."""
+        H, W = image.shape[:2]
+        size = self.config.image_size
+        scale = size / max(H, W)
+        nh, nw = int(H * scale + 0.5), int(W * scale + 0.5)
+        import cv2
+
+        resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        x = (resized.astype(np.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+        padded = np.zeros((size, size, 3), np.float32)
+        padded[:nh, :nw] = x
+        box = np.asarray(bbox, np.float32) * scale
+
+        masks, iou = self._predict(self.params, jnp.asarray(padded), jnp.asarray(box))
+        # low-res 256 masks -> full res; take the last (index -1) mask
+        m = np.asarray(masks[-1], np.float32)
+        m = cv2.resize(m, (size, size))[:nh, :nw]
+        m = cv2.resize(m, (W, H))
+        return m > 0.0

@@ -1,0 +1,239 @@
+"""Generalizable-SparseNeuS reconstruction trainer.
+
+Parity targets: exp_runner_generic_blender_train.py (cosine lr with 0.1
+floor :400-405, alpha-ratio warmup :407-413, grad-clip 1.0, Adam 2e-4,
+200k iters) + GenericTrainer.train_step / cal_losses_sdf
+(trainer_generic.py:158-357, 1127-1269).
+
+TPU parallelism replaces `torch.nn.DataParallel(trainer)` (batch = #GPUs,
+one scene per replica): scenes are sharded over the `data` mesh axis via a
+leading scene axis and `jax.vmap`; XLA psum-reduces the gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from one2345_tpu.core.config import ReconConfig
+from one2345_tpu.recon.renderer import RenderParams, render_rays
+from one2345_tpu.recon.sdf_network import SdfVolumeNetwork
+
+
+class ReconTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def cosine_lr(base_lr: float, end_iter: int):
+    def schedule(step):
+        f = (jnp.cos(jnp.pi * step / end_iter) + 1.0) * 0.5 * 0.9 + 0.1
+        return base_lr * f
+
+    return schedule
+
+
+class ReconTrainer:
+    def __init__(self, stage, config: ReconConfig | None = None):
+        """:param stage: recon.pipeline.ReconStage"""
+        self.stage = stage
+        self.cfg = config or stage.config
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(cosine_lr(self.cfg.learning_rate, self.cfg.end_iter)),
+        )
+
+    def init_state(self) -> ReconTrainState:
+        params = self.stage.params
+        return ReconTrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+
+    def alpha_inter_ratio(self, step):
+        end = self.cfg.anneal_end
+        if end == 0:
+            return jnp.asarray(1.0)
+        return jnp.minimum(1.0, step / end)
+
+    # ------------------------------------------------------------- forward
+    def scene_loss(self, params, scene, step, key):
+        """Loss for ONE scene (train_step + cal_losses_sdf).
+
+        scene: {'images' [V,H,W,3] (view 0 = reference), 'affines' [V,4,4],
+                'w2cs' [V,4,4], 'intrinsics' [V,3,3], 'near_far' [2],
+                'rays_o'/'rays_v' [N,3], 'rays_color' [N,3], 'rays_mask' [N,1]}
+        """
+        st = self.stage
+        cfg = self.cfg
+        imgs = scene["images"]
+        H, W = imgs.shape[1], imgs.shape[2]
+
+        feats = st.fusion.apply(params["fusion"], imgs)
+        # conditional volume from the source views only (trainer_generic:192-200)
+        vol_out = st.sdf_net.apply(
+            params["sdf"], feats[1:], scene["affines"][1:], (H, W),
+            method=SdfVolumeNetwork.build_volume,
+        )
+        volume, mask_volume = vol_out["volume"], vol_out["mask"]
+
+        def sdf_fn(pts):
+            return st.sdf_net.apply(params["sdf"], pts, volume, method=SdfVolumeNetwork.sdf)
+
+        def sdf_grad_fn(pts):
+            return st.sdf_net.apply(
+                params["sdf"], pts, volume, method=SdfVolumeNetwork.sdf_and_gradient
+            )
+
+        def render_net_fn(geo, rgb, rd, m):
+            return st.render_net.apply(params["render"], geo, rgb, rd, m)
+
+        inv_variance = st.variance_net.apply(params["variance"])
+
+        # rendering uses ALL views with the reference view as query; the
+        # projector excludes the query view from the support set
+        # (projector.py:141-149) — view 0 here.
+        out = render_rays(
+            sdf_fn,
+            sdf_grad_fn,
+            render_net_fn,
+            inv_variance,
+            scene["rays_o"],
+            scene["rays_v"],
+            scene["near_far"][0],
+            scene["near_far"][1],
+            volume,
+            mask_volume,
+            feats[1:],
+            imgs[1:],
+            scene["w2cs"][1:],
+            scene["intrinsics"][1:],
+            (H, W),
+            query_cam_center=jnp.linalg.inv(scene["w2cs"][0])[:3, 3],
+            params=RenderParams(
+                n_samples=cfg.n_samples,
+                n_importance=cfg.n_importance,
+                perturb=True,
+                alpha_inter_ratio=self.alpha_inter_ratio(step),
+                background_rgb=1.0 if cfg.use_white_bkgd else None,
+            ),
+            key=key,
+        )
+
+        # ---- losses (cal_losses_sdf, trainer_generic.py:1127-1269)
+        true_rgb = scene["rays_color"]
+        mask = scene["rays_mask"][:, 0]
+        color = out["color_fine"]
+        cmask = out["color_fine_mask"][:, 0].astype(jnp.float32)
+        err = jnp.abs(color - true_rgb).mean(axis=-1) * cmask
+        color_loss = jnp.sum(err) / (jnp.sum(cmask) + 1e-8)
+        psnr = 20.0 * jnp.log10(
+            1.0
+            / jnp.sqrt(
+                jnp.sum(((color - true_rgb) ** 2).mean(-1) * cmask)
+                / (jnp.sum(cmask) + 1e-8)
+                / 3.0
+                + 1e-12
+            )
+        )
+
+        k_sparse = jax.random.fold_in(key, 1)
+        pts_random = jax.random.uniform(k_sparse, (1024, 3), minval=-1.0, maxval=1.0)
+        sdf_random, _ = sdf_fn(pts_random)
+        sparse_1 = jnp.mean(jnp.exp(-cfg.sdf_decay_param * jnp.abs(sdf_random)))
+        sparse_2 = jnp.mean(jnp.exp(-cfg.sdf_decay_param * jnp.abs(out["sdf"])))
+        sparse_loss = 0.5 * (sparse_1 + sparse_2)
+
+        eikonal = out["gradient_error_fine"]
+
+        # fg/bg mask loss, gated after 50k iters and only when the batch has
+        # background rays (trainer_generic.py:1227-1248)
+        fg_bg_weight = jnp.where(step < 50_000, 0.0, self._anneal_weight(step, cfg.fg_bg_weight))
+        has_bg = jnp.mean((mask < 0.5).astype(jnp.float32)) > 0.02
+        fg_bg_loss = jnp.where(
+            has_bg, jnp.mean(jnp.abs(out["weights_sum"][:, 0] - mask)), 0.0
+        )
+
+        sparse_w = self._anneal_weight(step, cfg.sdf_sparse_weight)
+        loss = (
+            color_loss
+            + sparse_loss * sparse_w
+            + fg_bg_loss * fg_bg_weight
+            + eikonal * cfg.sdf_igr_weight
+        )
+        metrics = {
+            "loss": loss,
+            "color_loss": color_loss,
+            "psnr": psnr,
+            "eikonal": eikonal,
+            "sparse_loss": sparse_loss,
+            "fg_bg_loss": fg_bg_loss,
+            "variance": out["variance"],
+        }
+        return loss, metrics
+
+    def _anneal_weight(self, step, weight):
+        """get_weight (trainer_generic.py:1130-1150): ramp from anneal_start
+        to 2*anneal_end."""
+        cfg = self.cfg
+        end = cfg.anneal_end * 2
+        if end == 0:
+            return jnp.asarray(weight)
+        ramp = jnp.clip((step - cfg.anneal_start) / (end - cfg.anneal_start), 0.0, 1.0)
+        return ramp * weight
+
+    def _train_step(self, state: ReconTrainState, scenes, key):
+        """scenes: pytree with a leading scene axis (sharded over `data`)."""
+
+        def batch_loss(params):
+            n = jax.tree_util.tree_leaves(scenes)[0].shape[0]
+            keys = jax.random.split(key, n)
+            losses, metrics = jax.vmap(
+                lambda sc, k: self.scene_loss(params, sc, state.step, k)
+            )(scenes, keys)
+            return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
+
+        (loss, metrics), grads = jax.value_and_grad(batch_loss, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return ReconTrainState(params, opt_state, state.step + 1), metrics
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state, scenes, key):
+        return self._train_step(state, scenes, key)
+
+    def make_sharded_train_step(self, mesh: Mesh):
+        """Scenes sharded over `data` (the DataParallel equivalent)."""
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        state_sh = jax.tree_util.tree_map(lambda _: repl, self.init_state())
+        scene_sh = jax.tree_util.tree_map(lambda _: data, self._scene_template())
+        return (
+            jax.jit(
+                self._train_step,
+                in_shardings=(state_sh, scene_sh, repl),
+                out_shardings=(state_sh, repl),
+            ),
+            state_sh,
+        )
+
+    def _scene_template(self):
+        cfg = self.cfg
+        V = 3
+        H, W = cfg.image_hw
+        N = cfg.n_rays
+        return {
+            "images": np.zeros((1, V, H, W, 3)),
+            "affines": np.zeros((1, V, 4, 4)),
+            "w2cs": np.zeros((1, V, 4, 4)),
+            "intrinsics": np.zeros((1, V, 3, 3)),
+            "near_far": np.zeros((1, 2)),
+            "rays_o": np.zeros((1, N, 3)),
+            "rays_v": np.zeros((1, N, 3)),
+            "rays_color": np.zeros((1, N, 3)),
+            "rays_mask": np.zeros((1, N, 1)),
+        }

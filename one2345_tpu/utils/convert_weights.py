@@ -1,0 +1,403 @@
+"""PyTorch checkpoint -> JAX parameter converters.
+
+The reference distributes four pretrained checkpoints (download_ckpt.py:
+21-29): zero123-xl.ckpt (LatentDiffusion), sam_vit_h_4b8939.pth,
+LoFTR indoor_ds_new.ckpt, and the reconstruction ckpt_215000.pth.  These
+converters map their state dicts onto the parameter trees of the Flax
+modules in this package (the spine of cross-implementation parity testing).
+
+Layout conventions:
+- torch Conv2d [O, I, kh, kw]  -> flax [kh, kw, I, O]
+- torch Linear [O, I]          -> flax [I, O]
+- torch GroupNorm/LayerNorm weight/bias -> flax scale/bias
+
+Loading a .ckpt requires torch (CPU build is fine):
+    sd = torch.load(path, map_location='cpu')['state_dict']
+    params = convert_zero123(sd, stage.params)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _np(t):
+    import torch
+
+    if isinstance(t, torch.Tensor):
+        return t.detach().cpu().float().numpy()
+    return np.asarray(t)
+
+
+def _conv(sd, key, bias=True):
+    out = {"kernel": np.transpose(_np(sd[f"{key}.weight"]), (2, 3, 1, 0))}
+    if bias and f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _conv3d(sd, key, bias=True):
+    out = {"kernel": np.transpose(_np(sd[f"{key}.weight"]), (2, 3, 4, 1, 0))}
+    if bias and f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _lin(sd, key, bias=True):
+    out = {"kernel": _np(sd[f"{key}.weight"]).T}
+    if bias and f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _norm(sd, key):
+    return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+
+def _gn32(sd, key):
+    # our GroupNorm32/_Norm wraps an auto-named nn.GroupNorm
+    return {"GroupNorm_0": _norm(sd, key)}
+
+
+def _ln(sd, key):
+    return _norm(sd, key)
+
+
+# --------------------------------------------------------------------------
+# Zero123-XL (LatentDiffusion ckpt)
+# --------------------------------------------------------------------------
+
+
+def convert_unet(sd, prefix="model.diffusion_model.", channel_mult=(1, 2, 4, 4),
+                 num_res_blocks=2, attention_resolutions=(4, 2, 1)) -> dict:
+    """UNetModel params from the diffusion_model state dict
+    (openaimodel.py block numbering)."""
+    p = prefix
+    out = {
+        "time_embed_0": _lin(sd, f"{p}time_embed.0"),
+        "time_embed_2": _lin(sd, f"{p}time_embed.2"),
+        "conv_in": _conv(sd, f"{p}input_blocks.0.0"),
+        "out_norm": _gn32(sd, f"{p}out.0"),
+        "conv_out": _conv(sd, f"{p}out.2"),
+    }
+
+    def res_block(key):
+        r = {
+            "in_norm": _gn32(sd, f"{key}.in_layers.0"),
+            "in_conv": _conv(sd, f"{key}.in_layers.2"),
+            "emb_proj": _lin(sd, f"{key}.emb_layers.1"),
+            "out_norm": _gn32(sd, f"{key}.out_layers.0"),
+            "out_conv": _conv(sd, f"{key}.out_layers.3"),
+        }
+        if f"{key}.skip_connection.weight" in sd:
+            r["skip"] = _conv(sd, f"{key}.skip_connection")
+        return r
+
+    def attn_block(key, depth=1):
+        a = {
+            "norm": _gn32(sd, f"{key}.norm"),
+            "proj_in": _conv(sd, f"{key}.proj_in"),
+            "proj_out": _conv(sd, f"{key}.proj_out"),
+        }
+        for d in range(depth):
+            tb = f"{key}.transformer_blocks.{d}"
+            a[f"block{d}"] = {
+                "norm1": _ln(sd, f"{tb}.norm1"),
+                "norm2": _ln(sd, f"{tb}.norm2"),
+                "norm3": _ln(sd, f"{tb}.norm3"),
+                "attn1": {
+                    "to_q": _lin(sd, f"{tb}.attn1.to_q"),
+                    "to_k": _lin(sd, f"{tb}.attn1.to_k"),
+                    "to_v": _lin(sd, f"{tb}.attn1.to_v"),
+                    "to_out": _lin(sd, f"{tb}.attn1.to_out.0"),
+                },
+                "attn2": {
+                    "to_q": _lin(sd, f"{tb}.attn2.to_q"),
+                    "to_k": _lin(sd, f"{tb}.attn2.to_k"),
+                    "to_v": _lin(sd, f"{tb}.attn2.to_v"),
+                    "to_out": _lin(sd, f"{tb}.attn2.to_out.0"),
+                },
+                "ff_geglu": {"proj": _lin(sd, f"{tb}.ff.net.0.proj")},
+                "ff_out": _lin(sd, f"{tb}.ff.net.2"),
+            }
+        return a
+
+    n_levels = len(channel_mult)
+    idx = 1
+    ds = 1
+    for level in range(n_levels):
+        for i in range(num_res_blocks):
+            out[f"in_{level}_{i}_res"] = res_block(f"{p}input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                out[f"in_{level}_{i}_attn"] = attn_block(f"{p}input_blocks.{idx}.1")
+            idx += 1
+        if level != n_levels - 1:
+            out[f"down_{level}"] = {"op": _conv(sd, f"{p}input_blocks.{idx}.0.op")}
+            idx += 1
+            ds *= 2
+
+    out["mid_res1"] = res_block(f"{p}middle_block.0")
+    out["mid_attn"] = attn_block(f"{p}middle_block.1")
+    out["mid_res2"] = res_block(f"{p}middle_block.2")
+
+    idx = 0
+    for level in reversed(range(n_levels)):
+        for i in range(num_res_blocks + 1):
+            out[f"out_{level}_{i}_res"] = res_block(f"{p}output_blocks.{idx}.0")
+            sub = 1
+            if ds in attention_resolutions:
+                out[f"out_{level}_{i}_attn"] = attn_block(f"{p}output_blocks.{idx}.1")
+                sub = 2
+            if i == num_res_blocks and level != 0:
+                out[f"up_{level}"] = {
+                    "conv": _conv(sd, f"{p}output_blocks.{idx}.{sub}.conv")
+                }
+                ds //= 2
+            idx += 1
+
+    return {"params": out}
+
+
+def _vae_res(sd, key):
+    r = {
+        "norm1": _gn32(sd, f"{key}.norm1"),
+        "conv1": _conv(sd, f"{key}.conv1"),
+        "norm2": _gn32(sd, f"{key}.norm2"),
+        "conv2": _conv(sd, f"{key}.conv2"),
+    }
+    if f"{key}.nin_shortcut.weight" in sd:
+        r["nin_shortcut"] = _conv(sd, f"{key}.nin_shortcut")
+    return r
+
+
+def _vae_attn(sd, key):
+    return {
+        "norm": _gn32(sd, f"{key}.norm"),
+        "q": _conv(sd, f"{key}.q"),
+        "k": _conv(sd, f"{key}.k"),
+        "v": _conv(sd, f"{key}.v"),
+        "proj_out": _conv(sd, f"{key}.proj_out"),
+    }
+
+
+def convert_vae_encoder(sd, prefix="first_stage_model.", channel_mult=(1, 2, 4, 4),
+                        num_res_blocks=2) -> dict:
+    p = f"{prefix}encoder."
+    out = {
+        "conv_in": _conv(sd, f"{p}conv_in"),
+        "mid_block_1": _vae_res(sd, f"{p}mid.block_1"),
+        "mid_attn": _vae_attn(sd, f"{p}mid.attn_1"),
+        "mid_block_2": _vae_res(sd, f"{p}mid.block_2"),
+        "norm_out": _gn32(sd, f"{p}norm_out"),
+        "conv_out": _conv(sd, f"{p}conv_out"),
+        "quant_conv": _conv(sd, f"{prefix}quant_conv"),
+    }
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            out[f"down_{level}_block_{i}"] = _vae_res(sd, f"{p}down.{level}.block.{i}")
+        if level != len(channel_mult) - 1:
+            out[f"down_{level}_downsample"] = _conv(
+                sd, f"{p}down.{level}.downsample.conv"
+            )
+    return {"params": out}
+
+
+def convert_vae_decoder(sd, prefix="first_stage_model.", channel_mult=(1, 2, 4, 4),
+                        num_res_blocks=2) -> dict:
+    p = f"{prefix}decoder."
+    out = {
+        "post_quant_conv": _conv(sd, f"{prefix}post_quant_conv"),
+        "conv_in": _conv(sd, f"{p}conv_in"),
+        "mid_block_1": _vae_res(sd, f"{p}mid.block_1"),
+        "mid_attn": _vae_attn(sd, f"{p}mid.attn_1"),
+        "mid_block_2": _vae_res(sd, f"{p}mid.block_2"),
+        "norm_out": _gn32(sd, f"{p}norm_out"),
+        "conv_out": _conv(sd, f"{p}conv_out"),
+    }
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks + 1):
+            out[f"up_{level}_block_{i}"] = _vae_res(sd, f"{p}up.{level}.block.{i}")
+        if level != 0:
+            out[f"up_{level}_conv"] = _conv(sd, f"{p}up.{level}.upsample.conv")
+    return {"params": out}
+
+
+def convert_clip_vision(sd, prefix="cond_stage_model.model.visual.", layers=24) -> dict:
+    """OpenAI CLIP visual tower.  In-proj is a single packed qkv matrix in
+    the openai checkpoint (in_proj_weight) -> split to q/k/v."""
+    p = prefix
+    out = {
+        "patch_embed": {"kernel": np.transpose(_np(sd[f"{p}conv1.weight"]), (2, 3, 1, 0))},
+        "class_embedding": _np(sd[f"{p}class_embedding"]),
+        "positional_embedding": _np(sd[f"{p}positional_embedding"]),
+        "ln_pre": _ln(sd, f"{p}ln_pre"),
+        "ln_post": _ln(sd, f"{p}ln_post"),
+        "proj": _np(sd[f"{p}proj"]),
+    }
+    for i in range(layers):
+        b = f"{p}transformer.resblocks.{i}"
+        w = _np(sd[f"{b}.attn.in_proj_weight"])
+        bi = _np(sd[f"{b}.attn.in_proj_bias"])
+        C = w.shape[0] // 3
+        qw, kw, vw = w[:C], w[C : 2 * C], w[2 * C :]
+        qb, kb, vb = bi[:C], bi[C : 2 * C], bi[2 * C :]
+        out[f"resblock_{i}"] = {
+            "ln_1": _ln(sd, f"{b}.ln_1"),
+            "ln_2": _ln(sd, f"{b}.ln_2"),
+            "attn": {
+                "q_proj": {"kernel": qw.T, "bias": qb},
+                "k_proj": {"kernel": kw.T, "bias": kb},
+                "v_proj": {"kernel": vw.T, "bias": vb},
+                "out_proj": _lin(sd, f"{b}.attn.out_proj"),
+            },
+            "fc": _lin(sd, f"{b}.mlp.c_fc"),
+            "proj": _lin(sd, f"{b}.mlp.c_proj"),
+        }
+    return {"params": out}
+
+
+def convert_zero123(sd, template=None) -> dict:
+    """Full Zero123 stage params from a LatentDiffusion checkpoint.
+
+    Selects the EMA weights for the UNet when present (model_ema.* keys,
+    the weights used at sampling via ema_scope, zero123_utils.py:63)."""
+    ema = {k: v for k, v in sd.items() if k.startswith("model_ema.")}
+    if ema:
+        # LitEma flattens names by dropping dots: modelema keys match
+        # 'model_ema.diffusion_modelXyz' - remap onto the raw names
+        raw_unet = {
+            k: v for k, v in sd.items() if k.startswith("model.diffusion_model.")
+        }
+        remapped = {}
+        for k in raw_unet:
+            ek = "model_ema." + k[len("model.") :].replace(".", "")
+            remapped[k] = ema.get(ek, sd[k])
+        sd = {**sd, **remapped}
+
+    cc = {
+        "params": {
+            "kernel": _np(sd["cc_projection.weight"]).T,
+            "bias": _np(sd["cc_projection.bias"]),
+        }
+    }
+    return {
+        "unet": convert_unet(sd),
+        "encoder": convert_vae_encoder(sd),
+        "decoder": convert_vae_decoder(sd),
+        "clip": convert_clip_vision(sd),
+        "cc_projection": cc,
+    }
+
+
+# --------------------------------------------------------------------------
+# SAM ViT-H
+# --------------------------------------------------------------------------
+
+
+def convert_sam(sd, depth=32) -> dict:
+    """sam_vit_h_4b8939.pth -> SamStage params (encoder + decoder + prompt)."""
+    p = "image_encoder."
+    enc = {
+        "patch_embed": _conv(sd, f"{p}patch_embed.proj"),
+        "pos_embed": _np(sd[f"{p}pos_embed"]),
+        "neck_conv1": _conv(sd, f"{p}neck.0", bias=False),
+        "neck_ln1": {"weight": _np(sd[f"{p}neck.1.weight"]), "bias": _np(sd[f"{p}neck.1.bias"])},
+        "neck_conv2": _conv(sd, f"{p}neck.2", bias=False),
+        "neck_ln2": {"weight": _np(sd[f"{p}neck.3.weight"]), "bias": _np(sd[f"{p}neck.3.bias"])},
+    }
+    for i in range(depth):
+        b = f"{p}blocks.{i}"
+        enc[f"block_{i}"] = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "attn": {
+                "qkv": _lin(sd, f"{b}.attn.qkv"),
+                "proj": _lin(sd, f"{b}.attn.proj"),
+                "rel_pos_h": _np(sd[f"{b}.attn.rel_pos_h"]),
+                "rel_pos_w": _np(sd[f"{b}.attn.rel_pos_w"]),
+            },
+            "mlp_lin1": _lin(sd, f"{b}.mlp.lin1"),
+            "mlp_lin2": _lin(sd, f"{b}.mlp.lin2"),
+        }
+
+    d = "mask_decoder."
+    t = f"{d}transformer."
+
+    def twoway_attn(key):
+        return {
+            "q_proj": _lin(sd, f"{key}.q_proj"),
+            "k_proj": _lin(sd, f"{key}.k_proj"),
+            "v_proj": _lin(sd, f"{key}.v_proj"),
+            "out_proj": _lin(sd, f"{key}.out_proj"),
+        }
+
+    def twoway_block(key):
+        return {
+            "self_attn": twoway_attn(f"{key}.self_attn"),
+            "cross_attn_t2i": twoway_attn(f"{key}.cross_attn_token_to_image"),
+            "cross_attn_i2t": twoway_attn(f"{key}.cross_attn_image_to_token"),
+            "norm1": _ln(sd, f"{key}.norm1"),
+            "norm2": _ln(sd, f"{key}.norm2"),
+            "norm3": _ln(sd, f"{key}.norm3"),
+            "norm4": _ln(sd, f"{key}.norm4"),
+            "mlp_lin1": _lin(sd, f"{key}.mlp.lin1"),
+            "mlp_lin2": _lin(sd, f"{key}.mlp.lin2"),
+        }
+
+    def mlp(key, n=3):
+        return {f"lin{i}": _lin(sd, f"{key}.layers.{i}") for i in range(n)}
+
+    dec = {
+        "iou_token": _np(sd[f"{d}iou_token.weight"]),
+        "mask_tokens": _np(sd[f"{d}mask_tokens.weight"]),
+        "layer0": twoway_block(f"{t}layers.0"),
+        "layer1": twoway_block(f"{t}layers.1"),
+        "final_attn": twoway_attn(f"{t}final_attn_token_to_image"),
+        "norm_final": _ln(sd, f"{t}norm_final_attn"),
+        "upscale_conv1": _convtranspose(sd, f"{d}output_upscaling.0"),
+        "upscale_ln": {
+            "weight": _np(sd[f"{d}output_upscaling.1.weight"]),
+            "bias": _np(sd[f"{d}output_upscaling.1.bias"]),
+        },
+        "upscale_conv2": _convtranspose(sd, f"{d}output_upscaling.3"),
+        "iou_head": mlp(f"{d}iou_prediction_head"),
+    }
+    for i in range(4):
+        dec[f"hyper_{i}"] = mlp(f"{d}output_hypernetworks_mlps.{i}")
+
+    extra = {
+        "pe_gaussian": _np(
+            sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]
+        ),
+        # box corners use point_embeddings 2 and 3 (SAM _embed_boxes)
+        "box_embed": np.stack(
+            [
+                _np(sd["prompt_encoder.point_embeddings.2.weight"])[0],
+                _np(sd["prompt_encoder.point_embeddings.3.weight"])[0],
+            ]
+        ),
+    }
+    return {
+        "encoder": {"params": enc},
+        "decoder": {"params": dec},
+        "extra": extra,
+    }
+
+
+def _convtranspose(sd, key):
+    # torch ConvTranspose2d weight [I, O, kh, kw] -> flax [kh, kw, O, I]? no:
+    # flax ConvTranspose kernel is [kh, kw, I, O]
+    w = _np(sd[f"{key}.weight"])
+    out = {"kernel": np.transpose(w, (2, 3, 0, 1))}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        return obj["state_dict"]
+    return obj

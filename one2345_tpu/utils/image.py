@@ -1,0 +1,81 @@
+"""Image preprocessing: bbox prediction, recenter/rescale, compositing.
+
+Parity targets: utils/utils.py:10-77 (pred_bbox via rembg +
+image_preprocess_nosave recenter/rescale) and run.py:11-16 (preprocess).
+
+rembg (onnxruntime u2net) is not in this image; the bbox prompt comes from a
+saliency threshold or, preferably, from a SAM mask — the bbox only seeds
+SAM's box prompt, so a coarse estimate suffices (it is re-segmented anyway).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+
+def bbox_from_mask(mask: np.ndarray) -> tuple[int, int, int, int]:
+    """(x_min, y_min, x_max, y_max) of the nonzero region (pred_bbox
+    semantics, utils/utils.py:10-19)."""
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        h, w = mask.shape
+        return 0, 0, w - 1, h - 1
+    return int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())
+
+
+def estimate_bbox(image: np.ndarray) -> tuple[int, int, int, int]:
+    """Coarse foreground bbox without rembg: treat near-white / near-border
+    background out, keep the largest contrast region."""
+    import cv2
+
+    g = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)
+    # assume light background (the demo images are white/transparent-bg)
+    bg = np.median(np.concatenate([g[0], g[-1], g[:, 0], g[:, -1]]))
+    fg = np.abs(g.astype(np.int32) - int(bg)) > 12
+    fg = cv2.morphologyEx(
+        fg.astype(np.uint8), cv2.MORPH_OPEN, np.ones((5, 5), np.uint8)
+    )
+    return bbox_from_mask(fg)
+
+
+def thumbnail(img: Image.Image, size: int = 512) -> Image.Image:
+    """run.py:12 — bound the input to 512^2 before segmentation."""
+    img = img.copy()
+    img.thumbnail([size, size], Image.Resampling.LANCZOS)
+    return img
+
+
+def recenter_rescale(
+    rgba: np.ndarray, ratio: float = 0.75, out_size: int = 256
+) -> np.ndarray:
+    """Crop to the alpha bbox, pad to square with the object filling
+    ``ratio`` of the side, resize to 256 and composite on white.
+
+    Mirrors image_preprocess_nosave (utils/utils.py:50-77, rescale=True,
+    lower_contrast off as in run.py:13).  Returns [256, 256, 3] float in [0,1].
+    """
+    import cv2
+
+    alpha = rgba[..., 3]
+    x, y, w, h = cv2.boundingRect((alpha > 0).astype(np.uint8))
+    if w == 0 or h == 0:
+        x, y, w, h = 0, 0, rgba.shape[1], rgba.shape[0]
+    side = int(max(w, h) / ratio)
+    padded = np.zeros((side, side, 4), dtype=np.uint8)
+    cy, cx = side // 2, side // 2
+    padded[cy - h // 2 : cy - h // 2 + h, cx - w // 2 : cx - w // 2 + w] = rgba[
+        y : y + h, x : x + w
+    ]
+    out = np.asarray(
+        Image.fromarray(padded).resize((out_size, out_size), Image.LANCZOS),
+        dtype=np.float32,
+    ) / 255.0
+    rgb = out[..., :3] * out[..., 3:] + (1.0 - out[..., 3:])
+    return rgb
+
+
+def composite_white(rgba: np.ndarray) -> np.ndarray:
+    """[H,W,4] float [0,1] -> [H,W,3] alpha-blended onto white
+    (One2345_eval_new_data.py:199-200)."""
+    return rgba[..., :3] * rgba[..., 3:] + (1.0 - rgba[..., 3:])
