@@ -21,6 +21,10 @@ import numpy as np
 def main():
     import jax
 
+    from one2345_tpu.core.compile_cache import enable as enable_cache
+
+    enable_cache()
+
     from one2345_tpu.core.config import PipelineConfig
     from one2345_tpu.pipeline.runner import One2345Pipeline
 

@@ -172,15 +172,51 @@ class Zero123Stage:
         key,
         steps: int | None = None,
         cfg_scale: float | None = None,
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
-        """Generate B novel views in one scan.  Returns [B, 256, 256, 3] in [0,1]."""
+        """Generate B novel views in one scan.  Returns [B, 256, 256, 3] in [0,1].
+
+        :param sampler: 'ddim' (default, eta from config) or 'plms'
+            (eta=0 multistep — the reference's alternative sampler)."""
         cfg_scale = self.config.cfg_scale if cfg_scale is None else cfg_scale
         steps = steps or self.config.ddim_steps_stage1
-        sched = self._schedule(steps)
         T = jnp.asarray(pose_tokens(delta_x_deg, delta_y_deg))
+        if sampler == "plms":
+            sched = make_ddim_schedule(
+                steps, self.config.timesteps, 0.0,
+                self.config.linear_start, self.config.linear_end,
+            )
+            return self._sample_views_plms_jit(
+                self.params, cond_images, T, key, sched, cfg_scale
+            )
+        sched = self._schedule(steps)
         return self._sample_views_jit(
             self.params, cond_images, T, key, sched, cfg_scale
         )
+
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cfg_scale",))
+    def _sample_views_plms_jit(self, params, cond_images, T, key, sched, cfg_scale):
+        from one2345_tpu.diffusion.plms import plms_sample
+
+        B = cond_images.shape[0]
+        L = self.config.latent_size
+        zc = self.config.vae.z_channels
+        ctx, concat = self.encode_conditioning(params, cond_images, T)
+        ctx_in = jnp.concatenate([jnp.zeros_like(ctx), ctx], axis=0)
+        concat_in = jnp.concatenate([jnp.zeros_like(concat), concat], axis=0)
+        x = jax.random.normal(key, (B, L, L, zc))
+
+        def eps_fn(x, t):
+            x_in = jnp.concatenate([x, x], axis=0)
+            ts = jnp.full((2 * B,), t, jnp.int32)
+            unet_in = jnp.concatenate([x_in, concat_in], axis=-1)
+            e = self.unet.apply(params["unet"], unet_in, ts, ctx_in)
+            e_uc, e_c = jnp.split(e, 2, axis=0)
+            return e_uc + cfg_scale * (e_c - e_uc)
+
+        x = plms_sample(eps_fn, x, sched)
+        imgs = self.decoder.apply(params["decoder"], x / self.scale_factor)
+        return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
 
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cfg_scale",))
     def _sample_views_jit(self, params, cond_images, T, key, sched: DDIMSchedule, cfg_scale):

@@ -32,6 +32,7 @@ def bilinear_sample(
     out-of-range corner taps contribute zero ('zeros') or clamp ('border').
     """
     H, W = image.shape[0], image.shape[1]
+    flat = image.reshape(H * W, -1)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     tx = x - x0
@@ -40,7 +41,10 @@ def bilinear_sample(
     def tap(ix, iy):
         ix_c = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
         iy_c = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
-        v = image[iy_c, ix_c]
+        lin = iy_c * W + ix_c
+        v = jnp.take(flat, lin.reshape(-1), axis=0).reshape(
+            lin.shape + (flat.shape[-1],)
+        )
         if padding == "zeros":
             ok = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
             v = v * ok[..., None].astype(image.dtype)
@@ -78,8 +82,14 @@ def trilinear_sample(
     grid_sample because torch's grid dim order is (W, H, D) innermost-first:
     models/render_utils.py:77-79, sparse_sdf_network.py:407-410.  With an
     explicit [X, Y, Z, C] layout no flip is needed.)
+
+    TPU note: corner taps are ROW gathers on the flattened [X*Y*Z, C] matrix
+    (jnp.take) — multi-axis advanced indexing lowers to a gather the TPU
+    compiler handles pathologically (15-minute compiles / fusion-pass
+    crashes were observed for the 3-D indexed form).
     """
     X, Y, Z = volume.shape[0], volume.shape[1], volume.shape[2]
+    flat = volume.reshape(X * Y * Z, -1)
     fx = _unnormalize(pts[..., 0], X)
     fy = _unnormalize(pts[..., 1], Y)
     fz = _unnormalize(pts[..., 2], Z)
@@ -90,7 +100,8 @@ def trilinear_sample(
         ix_c = jnp.clip(ix, 0, X - 1).astype(jnp.int32)
         iy_c = jnp.clip(iy, 0, Y - 1).astype(jnp.int32)
         iz_c = jnp.clip(iz, 0, Z - 1).astype(jnp.int32)
-        v = volume[ix_c, iy_c, iz_c]
+        lin = (ix_c * Y + iy_c) * Z + iz_c
+        v = jnp.take(flat, lin.reshape(-1), axis=0).reshape(lin.shape + (flat.shape[-1],))
         if padding == "zeros":
             ok = (
                 (ix >= 0) & (ix <= X - 1)
@@ -113,6 +124,7 @@ def nearest_sample_volume(volume: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbour volume sampling (used for validity masks, matching
     F.grid_sample(mode='nearest') in sparse_neus_renderer.py:155-168)."""
     X, Y, Z = volume.shape[0], volume.shape[1], volume.shape[2]
+    flat = volume.reshape(X * Y * Z, -1)
     ix = jnp.round(_unnormalize(pts[..., 0], X))
     iy = jnp.round(_unnormalize(pts[..., 1], Y))
     iz = jnp.round(_unnormalize(pts[..., 2], Z))
@@ -122,7 +134,8 @@ def nearest_sample_volume(volume: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     ix = jnp.clip(ix, 0, X - 1).astype(jnp.int32)
     iy = jnp.clip(iy, 0, Y - 1).astype(jnp.int32)
     iz = jnp.clip(iz, 0, Z - 1).astype(jnp.int32)
-    v = volume[ix, iy, iz]
+    lin = (ix * Y + iy) * Z + iz
+    v = jnp.take(flat, lin.reshape(-1), axis=0).reshape(lin.shape + (flat.shape[-1],))
     return v * ok[..., None].astype(volume.dtype)
 
 

@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from one2345_tpu.core.compile_cache import enable as enable_cache
+
+    enable_cache()
+
     import numpy as np
     from PIL import Image
 

@@ -100,6 +100,22 @@ class One2345Pipeline:
             )
         return self._elev
 
+    # checkpointing -----------------------------------------------------------
+    def save_params(self, path: str) -> None:
+        """Persist every constructed stage's params as one orbax tree."""
+        from one2345_tpu.core import checkpoint
+
+        tree = {}
+        if self._zero123 is not None:
+            tree["zero123"] = self._zero123.params
+        if self._recon is not None:
+            tree["recon"] = self._recon.params
+        if self._sam is not None:
+            tree["sam"] = self._sam.params
+        if self._elev is not None:
+            tree["loftr"] = self._elev.matcher.params
+        checkpoint.save(path, tree)
+
     # stages ------------------------------------------------------------------
     def preprocess(self, raw_image: np.ndarray) -> np.ndarray:
         """uint8 RGB(A) -> [256, 256, 3] float [0,1] recentered on white
@@ -144,34 +160,40 @@ class One2345Pipeline:
         with timer.span("preprocess"):
             input_256 = image if skip_preprocess else self.preprocess(image)
 
+        # Stage outputs stay ON DEVICE end-to-end — the device<->host tunnel
+        # of this environment runs ~20 MB/s, so the reference's
+        # write-PNG-read-PNG stage handoffs would dominate wall-clock here.
+        import jax.numpy as jnp
+
         # ---- stage 1: all 12 candidate views in one batch (8 used)
         with timer.span("stage1"):
-            s1_all = np.asarray(self.zero123.stage1(input_256, k_s1))  # [12, ...]
+            s1_all = self.zero123.stage1(input_256, k_s1)  # [12, ...] device
+            s1_all.block_until_ready()
 
         # ---- stage 2 for view 0 (elevation estimation input, run.py:28-30)
         with timer.span("stage2_view0"):
-            s2_v0 = np.asarray(
-                self.zero123.stage2(s1_all[:1], k_s2e, steps=cfg.diffusion.ddim_steps_stage2)
+            s2_v0 = self.zero123.stage2(
+                s1_all[:1], k_s2e, steps=cfg.diffusion.ddim_steps_stage2
             )  # [1, 4, ...]
+            s2_v0.block_until_ready()
 
         with timer.span("elevation"):
-            polar = self.estimate_elevation(s2_v0[0])
+            polar = self.estimate_elevation(np.asarray(s2_v0[0]))
 
         # select the 8 stage-1 views for this elevation (run.py:40-44)
         if polar <= 75:
             sel = list(range(8))
         else:
             sel = list(range(4)) + list(range(8, 12))
-        stage1_images = s1_all[sel]
+        stage1_images = s1_all[jnp.asarray(sel)]
 
         # ---- stage 2 for the remaining 7 views (run.py stage2_run)
         with timer.span("stage2"):
-            rest = np.asarray(
-                self.zero123.stage2(
-                    stage1_images[1:], k_s2, steps=cfg.diffusion.ddim_steps_stage2
-                )
+            rest = self.zero123.stage2(
+                stage1_images[1:], k_s2, steps=cfg.diffusion.ddim_steps_stage2
             )  # [7, 4, ...]
-        stage2_images = np.concatenate([s2_v0, rest], axis=0)  # [8, 4, ...]
+            rest.block_until_ready()
+        stage2_images = jnp.concatenate([s2_v0, rest], axis=0)  # [8, 4, ...]
 
         # ---- reconstruction
         with timer.span("reconstruct"):
@@ -220,6 +242,8 @@ class One2345Pipeline:
         filesystem contract of the reference (SURVEY data-flow table)."""
         from PIL import Image
 
+        stage1_images = np.asarray(stage1_images)
+        stage2_images = np.asarray(stage2_images)
         s1_dir = os.path.join(out_dir, "stage1_8")
         s2_dir = os.path.join(out_dir, "stage2_8")
         os.makedirs(s1_dir, exist_ok=True)

@@ -116,6 +116,40 @@ class ReconStage:
         )
         return sdf[:, 0]
 
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def field_grid(self, params, volume, resolution: int):
+        """Dense -sdf field over [-1,1]^3, computed in ONE device program.
+
+        The grid coordinates are generated on device (nothing is uploaded),
+        x-slabs stream through a `lax.map` so peak activation memory stays
+        bounded, and the result returns as f16 — the device->host tunnel of
+        this environment moves ~20 MB/s, so halving the 256^3 field payload
+        matters more than f32 precision (marching cubes only needs signs +
+        a lerp).
+        """
+        lin = jnp.linspace(-1.0, 1.0, resolution, dtype=jnp.float32)
+        slab = max(1, (64 * 64 * 64) // (resolution * resolution))
+        n_slabs = (resolution + slab - 1) // slab
+        yy, zz = jnp.meshgrid(lin, lin, indexing="ij")
+
+        def do_slab(i):
+            xs = jax.lax.dynamic_slice(lin, (i * slab,), (slab,))
+            pts = jnp.stack(
+                [
+                    jnp.broadcast_to(xs[:, None, None], (slab, resolution, resolution)),
+                    jnp.broadcast_to(yy[None], (slab, resolution, resolution)),
+                    jnp.broadcast_to(zz[None], (slab, resolution, resolution)),
+                ],
+                axis=-1,
+            ).reshape(-1, 3)
+            sdf, _ = self.sdf_net.apply(
+                params["sdf"], pts, volume, method=SdfVolumeNetwork.sdf
+            )
+            return (-sdf[:, 0]).reshape(slab, resolution, resolution)
+
+        u = jax.lax.map(do_slab, jnp.arange(n_slabs))
+        return u.reshape(-1, resolution, resolution)[:resolution].astype(jnp.float16)
+
     @functools.partial(jax.jit, static_argnums=0)
     def color_chunk(
         self, params, verts, volume, mask_volume, feature_maps, color_maps,
@@ -144,26 +178,11 @@ class ReconStage:
         return colors[0]  # [N, 3]
 
     # --------------------------------------------------------------- driver
-    def extract_field(self, volume, resolution: int, chunk: int = 64) -> np.ndarray:
+    def extract_field(self, volume, resolution: int) -> np.ndarray:
         """Dense -sdf field on the [-1,1]^3 cube (extract_fields,
-        sparse_neus_renderer.py:881-905), chunked 64^3 blocks on device."""
-        lin = np.linspace(-1.0, 1.0, resolution, dtype=np.float32)
-        u = np.zeros((resolution, resolution, resolution), np.float32)
-        for xi in range(0, resolution, chunk):
-            xs = lin[xi : xi + chunk]
-            for yi in range(0, resolution, chunk):
-                ys = lin[yi : yi + chunk]
-                for zi in range(0, resolution, chunk):
-                    zs = lin[zi : zi + chunk]
-                    xx, yy, zz = np.meshgrid(xs, ys, zs, indexing="ij")
-                    pts = jnp.asarray(
-                        np.stack([xx, yy, zz], -1).reshape(-1, 3)
-                    )
-                    sdf = self.sdf_chunk(self.params, pts, volume)
-                    u[
-                        xi : xi + len(xs), yi : yi + len(ys), zi : zi + len(zs)
-                    ] = -np.asarray(sdf, np.float32).reshape(len(xs), len(ys), len(zs))
-        return u
+        sparse_neus_renderer.py:881-905): one device program + one f16 fetch."""
+        u = self.field_grid(self.params, volume, resolution)
+        return np.asarray(u, dtype=np.float32)
 
     def reconstruct(
         self,

@@ -235,13 +235,24 @@ class SdfVolumeNetwork(nn.Module):
     def sdf_and_gradient(
         self, pts: jnp.ndarray, volume: jnp.ndarray
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """(sdf, features, d sdf / d pts) — `jax.grad` replaces the
-        reference's autograd.grad(create_graph=True) (sparse_sdf_network.py:
-        476-499); the result remains differentiable for the eikonal loss."""
+        """(sdf, features, d sdf / d pts) — replaces the reference's
+        autograd.grad(create_graph=True) (sparse_sdf_network.py:476-499).
+
+        Computed with THREE forward-mode JVPs (one per coordinate) instead
+        of reverse-mode: points are independent, so basis-tangent JVPs give
+        the per-point spatial gradient exactly, the result stays
+        differentiable for the eikonal loss (reverse-over-forward), and —
+        critically — no backward-through-gather graph is built, which the
+        TPU compiler handled pathologically (fusion-pass crash observed
+        with the jax.grad formulation)."""
 
         def f(p):
-            s, feat = self.sdf(p, volume)
-            return jnp.sum(s), (s, feat)
+            return self.sdf(p, volume)
 
-        grads, (s, feat) = jax.grad(f, has_aux=True)(pts)
-        return s, feat, grads
+        (s, feat) = f(pts)
+        grads = []
+        for ax in range(3):
+            tangent = jnp.zeros_like(pts).at[..., ax].set(1.0)
+            _, (ds, _) = jax.jvp(f, (pts,), (tangent,))
+            grads.append(ds[..., 0])
+        return s, feat, jnp.stack(grads, axis=-1)

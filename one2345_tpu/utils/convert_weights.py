@@ -106,15 +106,15 @@ def convert_unet(sd, prefix="model.diffusion_model.", channel_mult=(1, 2, 4, 4),
                 "norm2": _ln(sd, f"{tb}.norm2"),
                 "norm3": _ln(sd, f"{tb}.norm3"),
                 "attn1": {
-                    "to_q": _lin(sd, f"{tb}.attn1.to_q"),
-                    "to_k": _lin(sd, f"{tb}.attn1.to_k"),
-                    "to_v": _lin(sd, f"{tb}.attn1.to_v"),
+                    "to_q": _lin(sd, f"{tb}.attn1.to_q", bias=False),
+                    "to_k": _lin(sd, f"{tb}.attn1.to_k", bias=False),
+                    "to_v": _lin(sd, f"{tb}.attn1.to_v", bias=False),
                     "to_out": _lin(sd, f"{tb}.attn1.to_out.0"),
                 },
                 "attn2": {
-                    "to_q": _lin(sd, f"{tb}.attn2.to_q"),
-                    "to_k": _lin(sd, f"{tb}.attn2.to_k"),
-                    "to_v": _lin(sd, f"{tb}.attn2.to_v"),
+                    "to_q": _lin(sd, f"{tb}.attn2.to_q", bias=False),
+                    "to_k": _lin(sd, f"{tb}.attn2.to_k", bias=False),
+                    "to_v": _lin(sd, f"{tb}.attn2.to_v", bias=False),
                     "to_out": _lin(sd, f"{tb}.attn2.to_out.0"),
                 },
                 "ff_geglu": {"proj": _lin(sd, f"{tb}.ff.net.0.proj")},
