@@ -130,6 +130,12 @@ class ReconConfig(_ConfigBase):
     vol_dims: Sequence[int] = (96, 96, 96)
     voxel_size: float = 2.0 / 95.0
     partial_vol_origin: Sequence[float] = (-1.0, -1.0, -1.0)
+    # coarse-to-fine (conf sdf_network_lod1: 192^3, voxel 2/191, compress 8)
+    num_lods: int = 1
+    lod1_vol_dims: Sequence[int] = (192, 192, 192)
+    lod1_voxel_size: float = 2.0 / 191.0
+    lod1_d_compress: int = 8
+    lod1_prune_threshold: float = 0.02
     # feature nets
     ch_in: int = 56
     d_pyramid_feature_compress: int = 16

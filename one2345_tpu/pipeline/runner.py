@@ -165,27 +165,37 @@ class One2345Pipeline:
         # write-PNG-read-PNG stage handoffs would dominate wall-clock here.
         import jax.numpy as jnp
 
-        # ---- stage 1: all 12 candidate views in one batch (8 used)
+        # ---- stage 1a: the 4 same-elevation views (run.py stage1_run's
+        # adjust_set=range(4)); the elevation-dependent 4 come after the
+        # estimate — 8 total view samples, both branches batch-4 (one
+        # compilation each, no elevation-dependent shapes)
         with timer.span("stage1"):
-            s1_all = self.zero123.stage1(input_256, k_s1)  # [12, ...] device
-            s1_all.block_until_ready()
+            s1_first = self.zero123.stage1(input_256, k_s1, indices=[0, 1, 2, 3])
+            s1_first.block_until_ready()
 
         # ---- stage 2 for view 0 (elevation estimation input, run.py:28-30)
         with timer.span("stage2_view0"):
             s2_v0 = self.zero123.stage2(
-                s1_all[:1], k_s2e, steps=cfg.diffusion.ddim_steps_stage2
+                s1_first[:1], k_s2e, steps=cfg.diffusion.ddim_steps_stage2
             )  # [1, 4, ...]
             s2_v0.block_until_ready()
 
         with timer.span("elevation"):
             polar = self.estimate_elevation(np.asarray(s2_v0[0]))
 
-        # select the 8 stage-1 views for this elevation (run.py:40-44)
+        # ---- stage 1b: the second elevation ring (run.py:40-44)
         if polar <= 75:
             sel = list(range(8))
+            second = [4, 5, 6, 7]
         else:
             sel = list(range(4)) + list(range(8, 12))
-        stage1_images = s1_all[jnp.asarray(sel)]
+            second = [8, 9, 10, 11]
+        with timer.span("stage1"):
+            s1_second = self.zero123.stage1(
+                input_256, jax.random.fold_in(k_s1, 1), indices=second
+            )
+            s1_second.block_until_ready()
+        stage1_images = jnp.concatenate([s1_first, s1_second], axis=0)
 
         # ---- stage 2 for the remaining 7 views (run.py stage2_run)
         with timer.span("stage2"):

@@ -59,6 +59,19 @@ class ReconStage:
             dtype=dt,
         )
         self.variance_net = SingleVarianceNetwork(init_val=cfg.variance_init_val)
+        self.sdf_net_lod1 = None
+        if cfg.num_lods > 1:
+            self.sdf_net_lod1 = SdfVolumeNetwork(
+                vol_dims=tuple(cfg.lod1_vol_dims),
+                voxel_size=cfg.lod1_voxel_size,
+                origin=tuple(cfg.partial_vol_origin),
+                d_compress=cfg.lod1_d_compress,
+                regnet_d_out=cfg.regnet_d_out,
+                hidden_dim=cfg.hidden_dim,
+                num_sdf_layers=cfg.num_sdf_layers,
+                multires=cfg.multires,
+                dtype=dt,
+            )
         self.params = params if params is not None else self.init_params(jax.random.key(seed))
 
     # ------------------------------------------------------------------ init
@@ -84,12 +97,25 @@ class ReconStage:
             jnp.ones((V, 4, 8)),
         )
         var_vars = self.variance_net.init(kv)
-        return {
+        out = {
             "fusion": fusion_vars,
             "sdf": sdf_vars,
             "render": render_vars,
             "variance": var_vars,
         }
+        if self.sdf_net_lod1 is not None:
+            k5 = jax.random.fold_in(key, 5)
+            prev_c = self.config.regnet_d_out
+            hx, hy, hz = (d // 2 for d in self.sdf_net_lod1.vol_dims)
+            out["sdf_lod1"] = jax.jit(self.sdf_net_lod1.init, static_argnums=(3, 4))(
+                k5, feats, projs, (H, W), False,
+                jnp.ones((hx, hy, hz, 1), bool),
+                jnp.zeros((hx, hy, hz, prev_c)),
+            )
+        return out
+
+    def _net(self, lod: int):
+        return (self.sdf_net, "sdf") if lod == 0 else (self.sdf_net_lod1, "sdf_lod1")
 
     # ----------------------------------------------------------- jitted fns
     @functools.partial(jax.jit, static_argnums=0)
@@ -108,57 +134,123 @@ class ReconStage:
             method=SdfVolumeNetwork.build_volume,
         )
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def sdf_chunk(self, params, pts, volume):
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def sdf_chunk(self, params, pts, volume, lod: int = 0):
         """[N,3] normalized pts -> [N] sdf."""
-        sdf, _ = self.sdf_net.apply(
-            params["sdf"], pts, volume, method=SdfVolumeNetwork.sdf
-        )
+        net, pkey = self._net(lod)
+        sdf, _ = net.apply(params[pkey], pts, volume, method=SdfVolumeNetwork.sdf)
         return sdf[:, 0]
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def field_grid(self, params, volume, resolution: int):
+    @functools.partial(jax.jit, static_argnums=0)
+    def conditional_volume_lod1(self, params, feature_maps, projs, pre_mask, pre_feats):
+        """Fine-lod (192^3) conditional volume conditioned on the pruned
+        lod0 occupancy + features (get_conditional_volume lod>0 path)."""
+        return self.sdf_net_lod1.apply(
+            params["sdf_lod1"], feature_maps, projs,
+            tuple(self.config.image_hw), False, pre_mask, pre_feats,
+            method=SdfVolumeNetwork.build_volume,
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def prune_occupancy(self, params, volume_lod0, mask_lod0):
+        """Near-surface voxel pruning of the coarse lod
+        (get_valid_sparse_coords_by_sdf, sparse_neus_renderer.py:822-879):
+        |sdf| < threshold, dilated 7^3, ANDed with the valid mask."""
+        R = self.config.vol_dims[0]
+        u = self.field_grid(params, volume_lod0, R).astype(jnp.float32)
+        occ = (jnp.abs(u) < self.config.lod1_prune_threshold).astype(jnp.float32)
+        occ = jax.lax.reduce_window(
+            occ, -jnp.inf, jax.lax.max, (7, 7, 7), (1, 1, 1), "SAME"
+        )
+        return ((occ > 0)[..., None] & (mask_lod0 > 0))
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def field_grid(self, params, volume, resolution: int, lod: int = 0):
         """Dense -sdf field over [-1,1]^3, computed in ONE device program.
 
-        The grid coordinates are generated on device (nothing is uploaded),
-        x-slabs stream through a `lax.map` so peak activation memory stays
-        bounded, and the result returns as f16 — the device->host tunnel of
-        this environment moves ~20 MB/s, so halving the 256^3 field payload
-        matters more than f32 precision (marching cubes only needs signs +
-        a lerp).
+        TPU design: for the *regular* marching-cubes grid, trilinear
+        sampling is separable — three [R, 96] interpolation matmuls resize
+        the latent volume on the MXU (zero gathers; the gather formulation
+        measured ~1s, this ~0.1s), then the SDF MLP streams over x-slabs
+        via `lax.map`.  Exactly the same math as point-wise
+        trilinear_sample + sdf_layer.
+
+        Returns f16 (halves the ~20 MB/s device->host tunnel payload;
+        marching cubes only needs signs + a lerp).
         """
-        lin = jnp.linspace(-1.0, 1.0, resolution, dtype=jnp.float32)
-        slab = max(1, (64 * 64 * 64) // (resolution * resolution))
-        n_slabs = (resolution + slab - 1) // slab
+        X = volume.shape[0]
+        C = volume.shape[-1]
+        R = resolution
+        lin = jnp.linspace(-1.0, 1.0, R, dtype=jnp.float32)
+
+        # [R, X] linear-interpolation matrix (align_corners grid)
+        pos = (lin + 1.0) * 0.5 * (X - 1)
+        i0 = jnp.clip(jnp.floor(pos), 0, X - 1).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, X - 1)
+        t = (pos - i0.astype(jnp.float32))[:, None]
+        eye = jnp.eye(X, dtype=jnp.float32)
+        W = eye[i0] * (1.0 - t) + eye[i1] * t  # [R, X]
+
+        vol = volume.astype(jnp.float32)
+        vol = jnp.einsum("Xa,aYZC->XYZC", W, vol)  # [R, 96, 96, C]
+        vol = jnp.einsum("Yb,XbZC->XYZC", W, vol)  # [R, R, 96, C]
+
+        slab = max(1, (64 * 64 * 64) // (R * R))
+        n_slabs = (R + slab - 1) // slab
+        pad = n_slabs * slab - R
+        vol = jnp.pad(vol, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        vol = vol.reshape(n_slabs, slab, R, X, C)
+        lin_pad = jnp.pad(lin, (0, pad))
+        xs_all = lin_pad.reshape(n_slabs, slab)
         yy, zz = jnp.meshgrid(lin, lin, indexing="ij")
 
-        def do_slab(i):
-            xs = jax.lax.dynamic_slice(lin, (i * slab,), (slab,))
+        def do_slab(args):
+            vslab, xs = args  # [slab, R, X, C], [slab]
+            latent = jnp.einsum("Zc,SYcC->SYZC", W, vslab)  # [slab, R, R, C]
             pts = jnp.stack(
                 [
-                    jnp.broadcast_to(xs[:, None, None], (slab, resolution, resolution)),
-                    jnp.broadcast_to(yy[None], (slab, resolution, resolution)),
-                    jnp.broadcast_to(zz[None], (slab, resolution, resolution)),
+                    jnp.broadcast_to(xs[:, None, None], (slab, R, R)),
+                    jnp.broadcast_to(yy[None], (slab, R, R)),
+                    jnp.broadcast_to(zz[None], (slab, R, R)),
                 ],
                 axis=-1,
             ).reshape(-1, 3)
-            sdf, _ = self.sdf_net.apply(
-                params["sdf"], pts, volume, method=SdfVolumeNetwork.sdf
+            net, pkey = self._net(lod)
+            out = net.apply(
+                params[pkey], pts, latent.reshape(-1, C),
+                method=SdfVolumeNetwork.sdf_from_latent,
             )
-            return (-sdf[:, 0]).reshape(slab, resolution, resolution)
+            return (-out[:, 0]).reshape(slab, R, R)
 
-        u = jax.lax.map(do_slab, jnp.arange(n_slabs))
-        return u.reshape(-1, resolution, resolution)[:resolution].astype(jnp.float16)
+        u = jax.lax.map(do_slab, (vol, xs_all))
+        return u.reshape(-1, R, R)[:R].astype(jnp.float16)
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def field_grid_i8(self, params, volume, mask_volume, resolution: int, lod: int = 0):
+        """field_grid + on-device occupancy gating + int8 quantization.
+
+        The far field is clipped to +-0.12 (only the zero crossing matters
+        for marching cubes; i8 resolution 1e-3 is far below the voxel
+        size), masked-out voxels go to -127 — the 256^3 payload drops to
+        16 MB over the ~20 MB/s device->host tunnel."""
+        R = resolution
+        u = self.field_grid(params, volume, R, lod).astype(jnp.float32)
+        occ = mask_volume[..., 0] > 0
+        idx = (jnp.arange(R) * (occ.shape[0] / R)).astype(jnp.int32)
+        occ_up = occ[idx][:, idx][:, :, idx]
+        q = jnp.round(jnp.clip(u, -0.12, 0.12) * 1000.0)
+        return jnp.where(occ_up, q, -127.0).astype(jnp.int8)
+
+    @functools.partial(jax.jit, static_argnums=(0, 9))
     def color_chunk(
         self, params, verts, volume, mask_volume, feature_maps, color_maps,
-        w2cs, intrinsics,
+        w2cs, intrinsics, lod: int = 0,
     ):
         """Vertex colors via the view-independent projector + blending net
         (projector.py:231-425 + validate_colored_mesh)."""
-        sdf, feat, grads = self.sdf_net.apply(
-            params["sdf"], verts, volume, method=SdfVolumeNetwork.sdf_and_gradient
+        net, pkey = self._net(lod)
+        sdf, feat, grads = net.apply(
+            params[pkey], verts, volume, method=SdfVolumeNetwork.sdf_and_gradient
         )
         normals = grads / (jnp.linalg.norm(grads, axis=-1, keepdims=True) + 1e-6)
         geo_feat, rgb_feat, ray_diff, mask = projector_features(
@@ -178,10 +270,10 @@ class ReconStage:
         return colors[0]  # [N, 3]
 
     # --------------------------------------------------------------- driver
-    def extract_field(self, volume, resolution: int) -> np.ndarray:
+    def extract_field(self, volume, resolution: int, lod: int = 0) -> np.ndarray:
         """Dense -sdf field on the [-1,1]^3 cube (extract_fields,
         sparse_neus_renderer.py:881-905): one device program + one f16 fetch."""
-        u = self.field_grid(self.params, volume, resolution)
+        u = self.field_grid(self.params, volume, resolution, lod)
         return np.asarray(u, dtype=np.float32)
 
     def reconstruct(
@@ -210,14 +302,25 @@ class ReconStage:
             self.params, feats, jnp.asarray(cameras["affines"][src])
         )
         volume, mask_volume = vol_out["volume"], vol_out["mask"]
+        lod = 0
+        if cfg.num_lods > 1 and self.sdf_net_lod1 is not None:
+            # coarse-to-fine: prune near-surface lod0 voxels, build the
+            # 192^3 fine volume conditioned on them (export_mesh_step lod1
+            # path, trainer_generic.py:903-934)
+            pre_mask = self.prune_occupancy(self.params, volume, mask_volume)
+            out1 = self.conditional_volume_lod1(
+                self.params, feats, jnp.asarray(cameras["affines"][src]),
+                pre_mask, volume,
+            )
+            volume, mask_volume = out1["volume"], out1["mask"]
+            lod = 1
 
-        u = self.extract_field(volume, resolution)
-        # cull voxels outside the valid mask (occupancy gating of
-        # extract_geometry's empty_mask path keeps spurious far-field
-        # crossings out of the mesh)
-        occ = np.asarray(mask_volume[..., 0]) > 0
-        idx = (np.arange(resolution) * (occ.shape[0] / resolution)).astype(int)
-        u = np.where(occ[np.ix_(idx, idx, idx)], u, -100.0)
+        # occupancy-gated int8 field: gating on device, 16 MB fetch
+        # (extract_geometry's empty_mask culling, renderer:923-930)
+        u = np.asarray(
+            self.field_grid_i8(self.params, volume, mask_volume, resolution, lod),
+            np.float32,
+        )
 
         verts_grid, faces = mesh_extract.marching_tetrahedra(u, cfg.mesh_threshold)
         verts_n = mesh_extract.grid_to_world(verts_grid, (-1, -1, -1), (1, 1, 1), resolution)
@@ -240,6 +343,7 @@ class ReconStage:
                     jnp.asarray(images),
                     jnp.asarray(cameras["w2cs"][src]),
                     jnp.asarray(cameras["intrinsics"][src]),
+                    lod,
                 )
                 out.append(np.asarray(c, np.float32))
             colors = np.concatenate(out)[:n]

@@ -271,7 +271,11 @@ def render_rays(
         color = color + params.background_rgb * (1.0 - weights_sum)
 
     grad_res = gradients.reshape(N_rays, n_total, 3)
-    gradient_error = (jnp.linalg.norm(grad_res, axis=-1) - 1.0) ** 2
+    # eps inside the sqrt: gradients are zeroed at masked samples and the
+    # derivative of ||x|| at x=0 is NaN — the reference avoids this only
+    # because its masked zeros are autograd constants (render_core:236-239)
+    grad_norm = jnp.sqrt(jnp.sum(grad_res**2, axis=-1) + 1e-12)
+    gradient_error = (grad_norm - 1.0) ** 2
     gradient_error = jnp.sum(pts_mask * gradient_error) / (jnp.sum(pts_mask) + 1e-5)
 
     depth = jnp.sum(mid_z * weights, axis=1, keepdims=True)

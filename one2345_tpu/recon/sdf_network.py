@@ -145,9 +145,10 @@ class SdfVolumeNetwork(nn.Module):
             name="sdf_layer",
         )
 
-    def __call__(self, feature_maps, projs, size_hw=(256, 256)):
+    def __call__(self, feature_maps, projs, size_hw=(256, 256), train=False,
+                 pre_mask=None, pre_feats=None):
         """Init helper: traces every submodule (build_volume + sdf_layer)."""
-        out = self.build_volume(feature_maps, projs, size_hw)
+        out = self.build_volume(feature_maps, projs, size_hw, train, pre_mask, pre_feats)
         sdf, _ = self.sdf(jnp.zeros((8, 3)), out["volume"])
         return out, sdf
 
@@ -169,11 +170,18 @@ class SdfVolumeNetwork(nn.Module):
         projs: jnp.ndarray,
         size_hw: tuple[int, int] = (256, 256),
         train: bool = False,
+        pre_mask: jnp.ndarray | None = None,
+        pre_feats: jnp.ndarray | None = None,
     ) -> dict:
         """Conditional volume from fused pyramid features.
 
         :param feature_maps: [V, H, W, 56] fused pyramid features
         :param projs: [V, 4, 4] affine projection mats (K @ w2c, normalized space)
+        :param pre_mask: lod-1 only — [X/2, Y/2, Z/2, 1] pruned occupancy
+            from the previous lod (coords upsampled 1->8 children,
+            sparse_sdf_network.py upsample:198-219)
+        :param pre_feats: lod-1 only — [X/2, Y/2, Z/2, C_prev] parent
+            features concatenated into the cost volume
         :return: dict with 'volume' [X,Y,Z,regnet_d_out], 'mask' [X,Y,Z,1]
 
         Mirrors get_conditional_volume (sparse_sdf_network.py:286-400): 2D
@@ -209,13 +217,20 @@ class SdfVolumeNetwork(nn.Module):
         (vol_sum, vol_sq, counts), _ = jax.lax.scan(view_step, init, (feats, projs))
 
         valid = counts >= 2.0  # minimum_visible_views culling (:330-334)
+        if pre_mask is not None:
+            # children inherit the pruned parents' occupancy (lod1 path)
+            up = jnp.repeat(jnp.repeat(jnp.repeat(pre_mask, 2, 0), 2, 1), 2, 2)
+            valid = valid & (up.reshape(-1) > 0)
         inv = (1.0 / (counts + 1e-5))[:, None].astype(feats.dtype)
         mean = vol_sum * inv
         var = vol_sq * inv - mean * mean
         cost = jnp.concatenate([var, mean], axis=-1)  # [N, 2C]
+        if pre_feats is not None:
+            upf = jnp.repeat(jnp.repeat(jnp.repeat(pre_feats, 2, 0), 2, 1), 2, 2)
+            cost = jnp.concatenate([cost, upf.reshape(cost.shape[0], -1)], axis=-1)
         cost = cost * valid[:, None].astype(cost.dtype)
 
-        volume = cost.reshape(X, Y, Z, 2 * C)
+        volume = cost.reshape(X, Y, Z, cost.shape[-1])
         mask = valid.reshape(X, Y, Z, 1)
         out = self.costreg(volume, mask, train)  # [X,Y,Z,d_out]
         return {"volume": out, "mask": mask.astype(jnp.float32)}
@@ -231,6 +246,11 @@ class SdfVolumeNetwork(nn.Module):
         latent = trilinear_sample(volume, pts, padding="zeros")
         out = self.sdf_layer(pts, latent)
         return out[..., :1], out[..., 1:]
+
+    def sdf_from_latent(self, pts: jnp.ndarray, latent: jnp.ndarray) -> jnp.ndarray:
+        """SDF MLP on pre-fetched latents (used by the separable field-grid
+        path where the trilinear fetch is done with interpolation matmuls)."""
+        return self.sdf_layer(pts, latent)
 
     def sdf_and_gradient(
         self, pts: jnp.ndarray, volume: jnp.ndarray

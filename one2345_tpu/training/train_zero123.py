@@ -1,0 +1,88 @@
+"""Zero123 finetune training CLI — the `main.py` the reference omits.
+
+    python -m one2345_tpu.training.train_zero123 \
+        --data_root views_whole_sphere --batch_size 192 --max_steps 100000
+
+Reconstructs the training contract of configs/sd-objaverse-finetune-
+c_concat-256.yaml (AdamW 1e-4, warmup 100, ckpt every 5000, EMA) with
+data-parallel sharding over the device mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Zero123-XL finetune (TPU)")
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=192)
+    p.add_argument("--base_lr", type=float, default=1e-4)
+    p.add_argument("--max_steps", type=int, default=100_000)
+    p.add_argument("--ckpt_every", type=int, default=5000)  # yaml modelcheckpoint
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--exp_dir", type=str, default="exp/zero123_finetune")
+    p.add_argument("--init_params", type=str, default=None, help="orbax dir (converted zero123-xl)")
+    p.add_argument("--model_shards", type=int, default=1, help="FSDP-style param sharding factor")
+    p.add_argument("--total_views", type=int, default=12)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from one2345_tpu.core import checkpoint
+    from one2345_tpu.core.compile_cache import enable as enable_cache
+    from one2345_tpu.core.config import DiffusionConfig
+    from one2345_tpu.core.logging import MetricsLogger
+    from one2345_tpu.core.meshes import create_mesh
+    from one2345_tpu.diffusion.zero123 import Zero123Stage
+    from one2345_tpu.training.data import ObjaverseViewsDataset, Prefetcher
+    from one2345_tpu.training.zero123_trainer import Zero123Trainer
+
+    enable_cache()
+    n_dev = len(jax.devices())
+    mesh = create_mesh(("data", "model"), (n_dev // args.model_shards, args.model_shards))
+
+    params = checkpoint.restore(args.init_params) if args.init_params else None
+    stage = Zero123Stage(DiffusionConfig(), params)
+    trainer = Zero123Trainer(stage, base_lr=args.base_lr)
+    step_fn, state_sh, frozen_sh = trainer.make_sharded_train_step(
+        mesh, shard_params=args.model_shards > 1
+    )
+    state = jax.device_put(trainer.init_state(), state_sh)
+    frozen = jax.device_put(
+        {k: stage.params[k] for k in ("encoder", "clip")}, frozen_sh
+    )
+
+    ds = ObjaverseViewsDataset(
+        args.data_root, total_views=args.total_views,
+        image_size=stage.config.image_size,
+    )
+    batches = Prefetcher(ds.batches(args.batch_size))
+    logger = MetricsLogger(args.exp_dir)
+
+    key = jax.random.key(0)
+    t0 = time.time()
+    for step_idx in range(args.max_steps):
+        batch = next(batches)
+        key, k = jax.random.split(key)
+        state, loss = step_fn(state, frozen, batch, k)
+        if step_idx % args.log_every == 0:
+            loss = float(loss)
+            rate = args.log_every * args.batch_size / max(time.time() - t0, 1e-9)
+            logger.log(step_idx, loss=loss, samples_per_sec=rate)
+            print(f"step {step_idx} loss {loss:.4f} ({rate:.1f} samples/s)", flush=True)
+            t0 = time.time()
+        if step_idx > 0 and step_idx % args.ckpt_every == 0:
+            checkpoint.save(f"{args.exp_dir}/step_{step_idx:06d}", jax.device_get(state.params))
+    checkpoint.save(f"{args.exp_dir}/step_{args.max_steps:06d}", jax.device_get(state.params))
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

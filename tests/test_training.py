@@ -94,11 +94,13 @@ def test_recon_scene_loss_tiny():
         "rays_mask": np.ones((1, N, 1), np.float32),
     }
     scenes = {k: jnp.asarray(v) for k, v in scenes.items()}
+    # train_step donates the state; snapshot params before stepping
+    before = jax.tree_util.tree_map(np.asarray, state.params)
     state2, metrics = trainer.train_step(state, scenes, jax.random.key(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     # params actually moved
     d = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()), before, state2.params
     )
     assert max(jax.tree_util.tree_leaves(d)) > 0
