@@ -170,6 +170,7 @@ def render_rays(
     query_cam_center: jnp.ndarray,
     params: RenderParams = RenderParams(),
     key: jax.Array | None = None,
+    fitted_color_fn=None,
 ) -> dict:
     """Render a batch of rays (SparseNeuSRenderer.render + render_core,
     sparse_neus_renderer.py:171-635).
@@ -177,6 +178,10 @@ def render_rays(
     ``sdf_fn(pts[N,3]) -> (sdf [N,1], feat [N,H])`` and ``sdf_grad_fn(pts) ->
     (sdf, feat, grad [N,3])`` close over the conditional volume; the
     rendering net closes over its params.
+
+    ``fitted_color_fn(pts_flat, dirs_flat, feat_flat, grads_flat) ->
+    [N_flat, 3]``: the per-shape fitted-rendering path (if_fitted_rendering,
+    render_core:236-296) — replaces the generic projector + blending net.
     """
     N_rays = rays_o.shape[0]
     ns = params.n_samples
@@ -234,15 +239,21 @@ def render_rays(
     gradients = gradients * pts_mask.reshape(-1, 1)
 
     # rendering network features
-    ray2tar = query_cam_center[None, :] - flat
-    ray2tar = ray2tar / (jnp.linalg.norm(ray2tar, axis=-1, keepdims=True) + 1e-6)
-    geo_feat, rgb_feat, ray_diff, ren_mask = projector_features(
-        pts, volume, mask_volume, feature_maps, color_maps, w2cs, intrinsics,
-        size_hw, ray2tar,
-    )
-    sampled_color, rendering_valid_mask = rendering_net_fn(
-        geo_feat, rgb_feat, ray_diff, ren_mask
-    )
+    if fitted_color_fn is not None:
+        sampled_color = fitted_color_fn(flat, dirs, feat, gradients).reshape(
+            N_rays, n_total, 3
+        )
+        rendering_valid_mask = jnp.ones((N_rays, 1), bool)
+    else:
+        ray2tar = query_cam_center[None, :] - flat
+        ray2tar = ray2tar / (jnp.linalg.norm(ray2tar, axis=-1, keepdims=True) + 1e-6)
+        geo_feat, rgb_feat, ray_diff, ren_mask = projector_features(
+            pts, volume, mask_volume, feature_maps, color_maps, w2cs, intrinsics,
+            size_hw, ray2tar,
+        )
+        sampled_color, rendering_valid_mask = rendering_net_fn(
+            geo_feat, rgb_feat, ray_diff, ren_mask
+        )
 
     # ---- NeuS alpha compositing
     true_dot = jnp.sum(dirs * gradients, axis=-1, keepdims=True)
