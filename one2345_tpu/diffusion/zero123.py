@@ -66,9 +66,18 @@ class CCProjection(nn.Module):
 
 
 class Zero123Stage:
-    """Holds the UNet/VAE/CLIP modules + params and the jitted samplers."""
+    """Holds the UNet/VAE/CLIP modules + params and the jitted samplers.
 
-    def __init__(self, config: DiffusionConfig | None = None, params=None, seed: int = 0):
+    Multi-chip: pass ``mesh`` (a `jax.sharding.Mesh` with a `data` axis) and
+    the view x CFG batch of every sampler call shards across it — params
+    replicate, XLA keeps the CFG pair of each view on the same shard
+    (uncond/cond are concatenated along the batch axis in equal halves, so
+    a `data`-sharded batch splits both halves identically).
+    """
+
+    def __init__(self, config: DiffusionConfig | None = None, params=None, seed: int = 0,
+                 mesh=None):
+        self.mesh = mesh
         self.config = config or DiffusionConfig()
         cfg = self.config
         dt = jnp.bfloat16 if cfg.unet.dtype == "bfloat16" else jnp.float32
@@ -181,6 +190,12 @@ class Zero123Stage:
         cfg_scale = self.config.cfg_scale if cfg_scale is None else cfg_scale
         steps = steps or self.config.ddim_steps_stage1
         T = jnp.asarray(pose_tokens(delta_x_deg, delta_y_deg))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = NamedSharding(self.mesh, P("data"))
+            cond_images = jax.device_put(jnp.asarray(cond_images), data)
+            T = jax.device_put(T, data)
         if sampler == "plms":
             sched = make_ddim_schedule(
                 steps, self.config.timesteps, 0.0,

@@ -37,14 +37,14 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Conv(self.planes, (3, 3), (self.stride,) * 2, padding=1, use_bias=False, dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.Conv(self.planes, (3, 3), (self.stride,) * 2, padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(y)
         if self.stride != 1:
-            x = nn.Conv(self.planes, (1, 1), (self.stride,) * 2, use_bias=False, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.Conv(self.planes, (1, 1), (self.stride,) * 2, use_bias=False, dtype=self.dtype, name="down_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="down_bn")(x)
         return nn.relu(x + y)
 
 
@@ -61,30 +61,30 @@ class ResNetFPN_8_2(nn.Module):
         from one2345_tpu.nn.layers import resize_bilinear_align_corners
 
         dt = self.dtype
-        h = nn.Conv(self.initial_dim, (7, 7), (2, 2), padding=3, use_bias=False, dtype=dt)(x)
-        h = nn.BatchNorm(use_running_average=not train, dtype=dt)(h)
+        h = nn.Conv(self.initial_dim, (7, 7), (2, 2), padding=3, use_bias=False, dtype=dt, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, dtype=dt, name="bn1")(h)
         x0 = nn.relu(h)
-        x1 = BasicBlock(self.block_dims[0], 1, dt)(x0, train)
-        x1 = BasicBlock(self.block_dims[0], 1, dt)(x1, train)
-        x2 = BasicBlock(self.block_dims[1], 2, dt)(x1, train)
-        x2 = BasicBlock(self.block_dims[1], 1, dt)(x2, train)
-        x3 = BasicBlock(self.block_dims[2], 2, dt)(x2, train)
-        x3 = BasicBlock(self.block_dims[2], 1, dt)(x3, train)
+        x1 = BasicBlock(self.block_dims[0], 1, dt, name="layer1_0")(x0, train)
+        x1 = BasicBlock(self.block_dims[0], 1, dt, name="layer1_1")(x1, train)
+        x2 = BasicBlock(self.block_dims[1], 2, dt, name="layer2_0")(x1, train)
+        x2 = BasicBlock(self.block_dims[1], 1, dt, name="layer2_1")(x2, train)
+        x3 = BasicBlock(self.block_dims[2], 2, dt, name="layer3_0")(x2, train)
+        x3 = BasicBlock(self.block_dims[2], 1, dt, name="layer3_1")(x3, train)
 
-        x3_out = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=dt)(x3)
+        x3_out = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=dt, name="layer3_outconv")(x3)
         up3 = jax.vmap(lambda im: resize_bilinear_align_corners(im, x2.shape[1:3]))(x3_out)
-        x2_out = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=dt)(x2) + up3
-        x2_out = nn.Conv(self.block_dims[2], (3, 3), padding=1, use_bias=False, dtype=dt)(x2_out)
-        x2_out = nn.BatchNorm(use_running_average=not train, dtype=dt)(x2_out)
+        x2_out = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=dt, name="layer2_outconv")(x2) + up3
+        x2_out = nn.Conv(self.block_dims[2], (3, 3), padding=1, use_bias=False, dtype=dt, name="layer2_outconv2_0")(x2_out)
+        x2_out = nn.BatchNorm(use_running_average=not train, dtype=dt, name="layer2_outconv2_bn")(x2_out)
         x2_out = jax.nn.leaky_relu(x2_out, 0.01)
-        x2_out = nn.Conv(self.block_dims[1], (3, 3), padding=1, use_bias=False, dtype=dt)(x2_out)
+        x2_out = nn.Conv(self.block_dims[1], (3, 3), padding=1, use_bias=False, dtype=dt, name="layer2_outconv2_1")(x2_out)
 
         up2 = jax.vmap(lambda im: resize_bilinear_align_corners(im, x1.shape[1:3]))(x2_out)
-        x1_out = nn.Conv(self.block_dims[1], (1, 1), use_bias=False, dtype=dt)(x1) + up2
-        x1_out = nn.Conv(self.block_dims[1], (3, 3), padding=1, use_bias=False, dtype=dt)(x1_out)
-        x1_out = nn.BatchNorm(use_running_average=not train, dtype=dt)(x1_out)
+        x1_out = nn.Conv(self.block_dims[1], (1, 1), use_bias=False, dtype=dt, name="layer1_outconv")(x1) + up2
+        x1_out = nn.Conv(self.block_dims[1], (3, 3), padding=1, use_bias=False, dtype=dt, name="layer1_outconv2_0")(x1_out)
+        x1_out = nn.BatchNorm(use_running_average=not train, dtype=dt, name="layer1_outconv2_bn")(x1_out)
         x1_out = jax.nn.leaky_relu(x1_out, 0.01)
-        x1_out = nn.Conv(self.block_dims[0], (3, 3), padding=1, use_bias=False, dtype=dt)(x1_out)
+        x1_out = nn.Conv(self.block_dims[0], (3, 3), padding=1, use_bias=False, dtype=dt, name="layer1_outconv2_1")(x1_out)
 
         return x3_out, x1_out  # coarse 1/8 (256), fine 1/2 (128)
 
@@ -176,8 +176,17 @@ class LoFTRModules(nn.Module):
         self.down_proj = nn.Dense(self.d_fine, name="down_proj")
         self.merge_feat = nn.Dense(self.d_fine, name="merge_feat")
 
-    def __call__(self, images):  # init helper
-        return self.backbone(images)
+    def __call__(self, images):
+        """Init helper: traces EVERY submodule so the param tree is complete."""
+        coarse, fine = self.backbone(images)
+        hc = coarse.shape[1] * coarse.shape[2]
+        c = coarse.reshape(images.shape[0], hc, self.d_coarse)
+        c0, c1 = self.coarse_transformer(c, c)
+        w2 = self.window * self.window
+        win = jnp.zeros((1, w2, self.d_fine), fine.dtype) + fine[:1, 0, 0, :][:, None, :]
+        win = self.fuse_fine(win, c0[:1, 0, :])
+        f0, f1 = self.fine_transformer(win, win)
+        return c0, f0
 
     def extract(self, images):
         return self.backbone(images)

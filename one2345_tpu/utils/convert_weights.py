@@ -401,3 +401,104 @@ def load_torch_state_dict(path: str) -> dict:
     if isinstance(obj, dict) and "state_dict" in obj:
         return obj["state_dict"]
     return obj
+
+
+# --------------------------------------------------------------------------
+# LoFTR (indoor_ds_new.ckpt)
+# --------------------------------------------------------------------------
+
+
+def _bn(sd, key):
+    """BatchNorm -> (params, batch_stats)."""
+    p = {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+    s = {"mean": _np(sd[f"{key}.running_mean"]), "var": _np(sd[f"{key}.running_var"])}
+    return p, s
+
+
+def convert_loftr(sd) -> dict:
+    """indoor_ds_new.ckpt state dict -> LoFTRModules variables.
+
+    Keys may carry the Lightning 'matcher.' prefix (stripped here, matching
+    the reference's load_state_dict shim, loftr.py:78-82).
+    """
+    class _Stripped:
+        """Transparent 'matcher.'-prefix adapter (keeps lazy dicts lazy)."""
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __getitem__(self, k):
+            pk = "matcher." + k
+            return self.inner[pk] if pk in self.inner else self.inner[k]
+
+        def __contains__(self, k):
+            return ("matcher." + k) in self.inner or k in self.inner
+
+    sd = _Stripped(sd)
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    def conv(flax_path, key, bias=False):
+        put(params, flax_path + ("kernel",), np.transpose(_np(sd[f"{key}.weight"]), (2, 3, 1, 0)))
+        if bias and f"{key}.bias" in sd:
+            put(params, flax_path + ("bias",), _np(sd[f"{key}.bias"]))
+
+    def bn(flax_path, key):
+        p, s = _bn(sd, key)
+        for k, v in p.items():
+            put(params, flax_path + (k,), v)
+        for k, v in s.items():
+            put(stats, flax_path + (k,), v)
+
+    b = ("backbone",)
+    conv(b + ("conv1",), "backbone.conv1")
+    bn(b + ("bn1",), "backbone.bn1")
+    for layer in (1, 2, 3):
+        for blk in (0, 1):
+            fp = b + (f"layer{layer}_{blk}",)
+            tp = f"backbone.layer{layer}.{blk}"
+            conv(fp + ("conv1",), f"{tp}.conv1")
+            conv(fp + ("conv2",), f"{tp}.conv2")
+            bn(fp + ("bn1",), f"{tp}.bn1")
+            bn(fp + ("bn2",), f"{tp}.bn2")
+            if f"{tp}.downsample.0.weight" in sd:
+                conv(fp + ("down_conv",), f"{tp}.downsample.0")
+                bn(fp + ("down_bn",), f"{tp}.downsample.1")
+    conv(b + ("layer3_outconv",), "backbone.layer3_outconv")
+    conv(b + ("layer2_outconv",), "backbone.layer2_outconv")
+    conv(b + ("layer2_outconv2_0",), "backbone.layer2_outconv2.0")
+    bn(b + ("layer2_outconv2_bn",), "backbone.layer2_outconv2.1")
+    conv(b + ("layer2_outconv2_1",), "backbone.layer2_outconv2.3")
+    conv(b + ("layer1_outconv",), "backbone.layer1_outconv")
+    conv(b + ("layer1_outconv2_0",), "backbone.layer1_outconv2.0")
+    bn(b + ("layer1_outconv2_bn",), "backbone.layer1_outconv2.1")
+    conv(b + ("layer1_outconv2_1",), "backbone.layer1_outconv2.3")
+
+    def encoder_layer(flax_path, key):
+        for name in ("q_proj", "k_proj", "v_proj", "merge"):
+            put(params, flax_path + (name, "kernel"), _np(sd[f"{key}.{name}.weight"]).T)
+        put(params, flax_path + ("mlp0", "kernel"), _np(sd[f"{key}.mlp.0.weight"]).T)
+        put(params, flax_path + ("mlp2", "kernel"), _np(sd[f"{key}.mlp.2.weight"]).T)
+        for n in ("norm1", "norm2"):
+            put(params, flax_path + (n, "scale"), _np(sd[f"{key}.{n}.weight"]))
+            put(params, flax_path + (n, "bias"), _np(sd[f"{key}.{n}.bias"]))
+
+    # layer_names = ['self','cross']*4: layers[2i]=self_i, layers[2i+1]=cross_i
+    for i in range(4):
+        encoder_layer(("coarse_tf", f"self_{i}"), f"loftr_coarse.layers.{2 * i}")
+        encoder_layer(("coarse_tf", f"cross_{i}"), f"loftr_coarse.layers.{2 * i + 1}")
+    encoder_layer(("fine_tf", "self_0"), "loftr_fine.layers.0")
+    encoder_layer(("fine_tf", "cross_0"), "loftr_fine.layers.1")
+
+    for name, key in (("down_proj", "fine_preprocess.down_proj"),
+                      ("merge_feat", "fine_preprocess.merge_feat")):
+        put(params, (name, "kernel"), _np(sd[f"{key}.weight"]).T)
+        put(params, (name, "bias"), _np(sd[f"{key}.bias"]))
+
+    return {"params": params, "batch_stats": stats}

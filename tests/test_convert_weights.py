@@ -113,3 +113,15 @@ def test_linear_weight_orientation():
     out = cw._lin(sd, "l")
     assert out["kernel"].shape == (3, 2)
     np.testing.assert_allclose(out["kernel"], sd["l.weight"].T)
+
+
+def test_loftr_converter_structure():
+    from one2345_tpu.elevation.loftr import LoFTRMatcher
+
+    matcher = LoFTRMatcher(image_size=64, max_matches=32)
+    fake = FakeSD()
+    out = cw.convert_loftr(fake)
+    missing = _paths(matcher.params) - _paths(out)
+    extra = {p for p in _paths(out) - _paths(matcher.params) if "down_" not in p}
+    assert not missing, sorted(missing)[:8]
+    assert not extra, sorted(extra)[:8]
