@@ -13,9 +13,19 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/one2345_tpu_xla")
 
 
-def enable(cache_dir: str | None = None) -> str:
+def enable(cache_dir: str | None = None) -> str | None:
     import jax
 
+    # the axon remote-compile backend neither benefits from nor tolerates
+    # the persistent cache (reads fail with "TPU backend setup/compile
+    # error"); only enable it for local backends
+    try:
+        if jax.devices()[0].platform == "tpu" and "axon" in str(
+            jax.devices()[0].client.platform_version
+        ).lower():
+            return None
+    except Exception:
+        pass
     path = cache_dir or os.environ.get("ONE2345_COMPILE_CACHE", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     try:

@@ -502,3 +502,138 @@ def convert_loftr(sd) -> dict:
         put(params, (name, "bias"), _np(sd[f"{key}.bias"]))
 
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# Reconstruction (ckpt_215000.pth: dict of per-network state dicts,
+# exp_runner_generic_blender_val.py:485-512 save format)
+# --------------------------------------------------------------------------
+
+
+def _convbn(sd, key_conv, key_bn):
+    """ConvBnAct (Conv_0 + BatchNorm_0) from conv + InPlaceABN keys."""
+    p, s = _bn(sd, key_bn)
+    return (
+        {"Conv_0": _conv(sd, key_conv, bias=False), "BatchNorm_0": p},
+        {"BatchNorm_0": s},
+    )
+
+
+def _sparse_conv3d(sd, key, transposed=False, order="xyz"):
+    """torchsparse spnn.Conv3d kernel [K, I, O] -> flax [kx, ky, kz, I, O].
+
+    K = 27 offsets; torchsparse enumerates offsets with the LAST coordinate
+    fastest for odd kernels.  ``order`` selects which axis is fastest in the
+    checkpoint ('xyz' = x slowest; flip to 'zyx' if meshes come out
+    mirrored — unvalidated without the real checkpoint in this environment).
+    Transposed convs additionally need a spatial flip (our decoder is
+    zero-upsample + forward conv, see recon/costreg.py).
+    """
+    w = _np(sd[f"{key}.kernel"] if f"{key}.kernel" in sd else sd[f"{key}.weight"])
+    if w.ndim == 2:  # 1x1x1 kernel stored as [I, O]
+        return {"kernel": w[None, None, None]}
+    K, ci, co = w.shape
+    k = round(K ** (1 / 3))
+    w = w.reshape(k, k, k, ci, co)
+    if order == "zyx":
+        w = np.transpose(w, (2, 1, 0, 3, 4))
+    if transposed:
+        w = w[::-1, ::-1, ::-1]
+    return {"kernel": np.ascontiguousarray(w)}
+
+
+def _wn_dense(sd, key):
+    """torch weight_norm Linear -> WNDense {v [in,out], g [out], bias}."""
+    return {
+        "v": _np(sd[f"{key}.weight_v"]).T,
+        "g": _np(sd[f"{key}.weight_g"])[:, 0],
+        "bias": _np(sd[f"{key}.bias"]),
+    }
+
+
+def convert_recon(ckpt: dict, num_sdf_layers: int = 4, offset_order: str = "xyz") -> dict:
+    """ckpt_215000.pth -> ReconStage params.
+
+    ``ckpt`` is the torch checkpoint dict with keys sdf_network_lod0,
+    rendering_network_lod0, variance_network_lod0,
+    pyramid_feature_network_lod0 (state dicts each).
+    """
+    out: dict = {}
+
+    # ---- FeatureNet FPN (pyramid_feature_network_lod0)
+    fp = ckpt["pyramid_feature_network_lod0"]
+    fpn_p: dict = {}
+    fpn_s: dict = {}
+    cba = 0
+    for conv_key, n in (("conv0", 2), ("conv1", 3), ("conv2", 3)):
+        for i in range(n):
+            p, s = _convbn(fp, f"{conv_key}.{i}.conv", f"{conv_key}.{i}.bn")
+            fpn_p[f"ConvBnAct_{cba}"] = p
+            fpn_s[f"ConvBnAct_{cba}"] = s
+            cba += 1
+    for name in ("toplayer", "lat1", "lat0", "smooth1", "smooth0"):
+        fpn_p[name] = _conv(fp, name)
+    out["fusion"] = {
+        "params": {"fpn": fpn_p},
+        "batch_stats": {"fpn": fpn_s},
+    }
+
+    # ---- SdfVolumeNetwork (sdf_network_lod0)
+    sd = ckpt["sdf_network_lod0"]
+    sdf_p: dict = {}
+    sdf_s: dict = {}
+    p, s = _convbn(sd, "compress_layer.conv", "compress_layer.bn")
+    sdf_p["compress"] = p
+    sdf_s["compress"] = s
+
+    # SparseCostRegNet: conv0, conv1..conv6 (stride pattern), deconv 7/9/11
+    reg_p: dict = {}
+    reg_s: dict = {}
+    enc = [("conv0", 0), ("conv1", 1), ("conv2", 2), ("conv3", 3), ("conv4", 4),
+           ("conv5", 5), ("conv6", 6)]
+    for name, idx in enc:
+        bnp, bns = _bn(sd, f"sparse_costreg_net.{name}.net.1")
+        reg_p[f"_MConvBnRelu_{idx}"] = {
+            "Conv_0": _sparse_conv3d(sd, f"sparse_costreg_net.{name}.net.0", order=offset_order),
+            "MaskedBatchNorm_0": bnp,
+        }
+        reg_s[f"_MConvBnRelu_{idx}"] = {"MaskedBatchNorm_0": bns}
+    for name, idx in (("conv7", 0), ("conv9", 1), ("conv11", 2)):
+        bnp, bns = _bn(sd, f"sparse_costreg_net.{name}.net.1")
+        reg_p[f"_MDeconvBnRelu_{idx}"] = {
+            "Conv_0": _sparse_conv3d(
+                sd, f"sparse_costreg_net.{name}.net.0", transposed=True, order=offset_order
+            ),
+            "MaskedBatchNorm_0": bnp,
+        }
+        reg_s[f"_MDeconvBnRelu_{idx}"] = {"MaskedBatchNorm_0": bns}
+    sdf_p["costreg"] = reg_p
+    sdf_s["costreg"] = reg_s
+
+    sdf_p["sdf_layer"] = {
+        f"lin{l}": _wn_dense(sd, f"sdf_layer.lin{l}") for l in range(num_sdf_layers - 1)
+    }
+    out["sdf"] = {"params": sdf_p, "batch_stats": sdf_s}
+
+    # ---- GeneralRenderingNetwork (rendering_network_lod0)
+    rn = ckpt["rendering_network_lod0"]
+    render_p = {
+        "s": _np(rn["s"]).reshape(()),
+        "ray_dir_fc0": _lin(rn, "ray_dir_fc.0"),
+        "ray_dir_fc1": _lin(rn, "ray_dir_fc.2"),
+        "base_fc0": _lin(rn, "base_fc.0"),
+        "base_fc1": _lin(rn, "base_fc.2"),
+        "vis_fc0": _lin(rn, "vis_fc.0"),
+        "vis_fc1": _lin(rn, "vis_fc.2"),
+        "vis_fc2_0": _lin(rn, "vis_fc2.0"),
+        "vis_fc2_1": _lin(rn, "vis_fc2.2"),
+        "rgb_fc0": _lin(rn, "rgb_fc.0"),
+        "rgb_fc1": _lin(rn, "rgb_fc.2"),
+        "rgb_fc2": _lin(rn, "rgb_fc.4"),
+    }
+    out["render"] = {"params": render_p}
+
+    # ---- SingleVarianceNetwork
+    vn = ckpt["variance_network_lod0"]
+    out["variance"] = {"params": {"variance": _np(vn["variance"]).reshape(())}}
+    return out

@@ -125,3 +125,34 @@ def test_loftr_converter_structure():
     extra = {p for p in _paths(out) - _paths(matcher.params) if "down_" not in p}
     assert not missing, sorted(missing)[:8]
     assert not extra, sorted(extra)[:8]
+
+
+def test_recon_converter_structure():
+    from one2345_tpu.core.config import ReconConfig
+    from one2345_tpu.recon.pipeline import ReconStage
+
+    cfg = ReconConfig(vol_dims=(16, 16, 16), voxel_size=2.0 / 15.0, image_hw=(32, 32))
+    stage = ReconStage(cfg, seed=0)
+    class FakeReconSD(FakeSD):
+        def __getitem__(self, key):
+            self.read.add(key)
+            if "sparse_costreg_net" in key and ".net.0" in key:
+                return np.zeros((27, 4, 4), np.float32)  # torchsparse [K,I,O]
+            if key in ("variance", "s"):
+                return np.zeros((), np.float32)
+            if key.endswith("weight_g"):
+                return np.zeros((4, 1), np.float32)
+            return np.zeros((6, 4, 4, 4), np.float32)
+
+    ckpt = {
+        "pyramid_feature_network_lod0": FakeReconSD(),
+        "sdf_network_lod0": FakeReconSD(),
+        "rendering_network_lod0": FakeReconSD(),
+        "variance_network_lod0": FakeReconSD(),
+    }
+    out = cw.convert_recon(ckpt)
+    ours = {k: stage.params[k] for k in ("fusion", "sdf", "render", "variance")}
+    missing = _paths(ours) - _paths(out)
+    extra = _paths(out) - _paths(ours)
+    assert not missing, sorted(missing)[:10]
+    assert not extra, sorted(extra)[:10]
