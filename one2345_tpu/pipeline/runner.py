@@ -276,11 +276,9 @@ class One2345Pipeline:
         if fmt == ".obj":
             save_obj(path, v, f, mesh["colors"])
         else:
-            mesh_extract.save_ply(  # glb export lands with the asset pipeline
-                os.path.join(out_dir, "mesh_converted.ply"), v, f,
-                (mesh["colors"] * 255).astype(np.uint8),
-            )
-            path = os.path.join(out_dir, "mesh_converted.ply")
+            from one2345_tpu.recon.gltf import save_glb
+
+            save_glb(path, v, f, mesh["colors"])
         return path
 
 

@@ -322,7 +322,10 @@ class ReconStage:
             np.float32,
         )
 
-        verts_grid, faces = mesh_extract.marching_tetrahedra(u, cfg.mesh_threshold)
+        # the int8 field is the sdf scaled by 1000 — scale the threshold too
+        verts_grid, faces = mesh_extract.marching_tetrahedra(
+            u, cfg.mesh_threshold * 1000.0
+        )
         verts_n = mesh_extract.grid_to_world(verts_grid, (-1, -1, -1), (1, 1, 1), resolution)
 
         # vertex colors in padded buckets

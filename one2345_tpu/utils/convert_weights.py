@@ -36,13 +36,6 @@ def _conv(sd, key, bias=True):
     return out
 
 
-def _conv3d(sd, key, bias=True):
-    out = {"kernel": np.transpose(_np(sd[f"{key}.weight"]), (2, 3, 4, 1, 0))}
-    if bias and f"{key}.bias" in sd:
-        out["bias"] = _np(sd[f"{key}.bias"])
-    return out
-
-
 def _lin(sd, key, bias=True):
     out = {"kernel": _np(sd[f"{key}.weight"]).T}
     if bias and f"{key}.bias" in sd:

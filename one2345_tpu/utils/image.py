@@ -79,3 +79,36 @@ def composite_white(rgba: np.ndarray) -> np.ndarray:
     """[H,W,4] float [0,1] -> [H,W,3] alpha-blended onto white
     (One2345_eval_new_data.py:199-200)."""
     return rgba[..., :3] * rgba[..., 3:] + (1.0 - rgba[..., 3:])
+
+
+def image_grid(images: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Tile [N, H, W, 3] images into a [rows*H, cols*W, 3] grid
+    (utils/utils.py:21-29 image_grid)."""
+    n, h, w, c = images.shape
+    assert n == rows * cols
+    return (
+        images.reshape(rows, cols, h, w, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * h, cols * w, c)
+    )
+
+
+def camera_cone_points(
+    c2w: np.ndarray, fov_deg: float = 50.0, scale: float = 0.3
+) -> np.ndarray:
+    """[16, 3] polyline tracing a camera frustum cone for visualization
+    (demo/app.py calc_cam_cone_pts_3d:48 semantics: apex + 4 corners +
+    connecting edges, expressed in world space)."""
+    half = np.tan(np.radians(fov_deg) / 2.0) * scale
+    corners = np.array(
+        [
+            [-half, -half, scale], [half, -half, scale],
+            [half, half, scale], [-half, half, scale],
+        ]
+    )
+    apex = np.zeros(3)
+    order = [apex, corners[0], corners[1], apex, corners[1], corners[2], apex,
+             corners[2], corners[3], apex, corners[3], corners[0],
+             corners[0], corners[1], corners[2], corners[3]]
+    pts = np.stack(order)
+    return pts @ c2w[:3, :3].T + c2w[:3, 3]
