@@ -44,6 +44,9 @@ def main():
     dt = time.perf_counter() - t0
 
     baseline = 45.0
+    t = result.timings
+    diffusion_secs = t.get("stage1", 0) + t.get("stage2_view0", 0) + t.get("stage2", 0)
+    n_views = 8 + 4 + 28  # stage-1 (4+4) + view-0 nearby + remaining stage-2
     print(
         json.dumps(
             {
@@ -51,7 +54,11 @@ def main():
                 "value": round(dt, 3),
                 "unit": "s",
                 "vs_baseline": round(baseline / dt, 3),
-                "detail": {k: round(v, 3) for k, v in result.timings.items()},
+                "detail": {
+                    **{k: round(v, 3) for k, v in t.items()},
+                    "diffusion_views_per_sec": round(n_views / max(diffusion_secs, 1e-9), 2),
+                    "mesh_vertices": int(len(result.vertices)),
+                },
             }
         )
     )

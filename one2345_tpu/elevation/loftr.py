@@ -275,12 +275,15 @@ class LoFTRMatcher:
         fpad = jnp.pad(fine, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
 
         def gather_window(fmap, ids):
+            # row gathers on the flattened map (multi-axis indexing is
+            # pathological for the TPU compiler — see geometry/sampling.py)
+            Hp, Wp = fmap.shape[0], fmap.shape[1]
+            flat = fmap.reshape(Hp * Wp, d_f)
             cy = (ids // wc) * stride
             cx = (ids % wc) * stride
             dy, dx = jnp.meshgrid(jnp.arange(Wn), jnp.arange(Wn), indexing="ij")
-            ys = cy[:, None, None] + dy[None]
-            xs = cx[:, None, None] + dx[None]
-            return fmap[ys, xs].reshape(-1, Wn * Wn, d_f)
+            lin = (cy[:, None, None] + dy[None]) * Wp + (cx[:, None, None] + dx[None])
+            return jnp.take(flat, lin.reshape(-1), axis=0).reshape(-1, Wn * Wn, d_f)
 
         win0 = gather_window(fpad[0], i_ids)
         win1 = gather_window(fpad[1], j_ids)
@@ -305,3 +308,10 @@ class LoFTRMatcher:
             conf=topv,
             valid=valid,
         )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def match_pairs(self, params, imgs0, imgs1) -> MatchResult:
+        """Batched matching: [P, H, W] x [P, H, W] -> MatchResult with a
+        leading pair axis (all 6 elevation pairs in ONE device program)."""
+        body = functools.partial(type(self).match_pair.__wrapped__, self, params)
+        return jax.vmap(body)(imgs0, imgs1)

@@ -174,15 +174,18 @@ class ElevationEstimator:
                 fg.append(~np.all(img > 245.0 / 255.0, axis=-1))
         scale = np.array([orig_w / 480.0, orig_h / 480.0], np.float32)
 
+        # all 6 pairs matched in one device program
+        imgs0 = jnp.asarray(np.stack([gray[i] for i, _ in PAIRS]))
+        imgs1 = jnp.asarray(np.stack([gray[j] for _, j in PAIRS]))
+        res = self.matcher.match_pairs(self.matcher.params, imgs0, imgs1)
+        k0s = np.asarray(res.kpts0) * scale[None, None]
+        k1s = np.asarray(res.kpts1) * scale[None, None]
+        confs = np.asarray(res.conf)
+        valids = np.asarray(res.valid)
+
         packed = []
-        for (i, j) in PAIRS:
-            res = self.matcher.match_pair(
-                self.matcher.params, jnp.asarray(gray[i]), jnp.asarray(gray[j])
-            )
-            k0 = np.asarray(res.kpts0) * scale[None]
-            k1 = np.asarray(res.kpts1) * scale[None]
-            conf = np.asarray(res.conf)
-            valid = np.asarray(res.valid)
+        for p, (i, j) in enumerate(PAIRS):
+            k0, k1, conf, valid = k0s[p], k1s[p], confs[p], valids[p]
             xi0 = np.clip(k0.astype(int), 0, self.image_size - 1)
             xi1 = np.clip(k1.astype(int), 0, self.image_size - 1)
             keep = fg[i][xi0[:, 1], xi0[:, 0]] & fg[j][xi1[:, 1], xi1[:, 0]]
