@@ -19,8 +19,6 @@ import numpy as np
 
 
 def main():
-    import jax
-
     from one2345_tpu.core.compile_cache import enable as enable_cache
 
     enable_cache()

@@ -19,8 +19,6 @@ mesh `data` axis by the caller.
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

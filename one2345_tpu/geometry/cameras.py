@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Sequence
-
 import numpy as np
 
 # Default rig constants (utils/utils.py:130-145).

@@ -16,10 +16,7 @@ TPU re-design vs the reference:
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import dataclass, field
-from typing import Any
-
 import jax
 import numpy as np
 

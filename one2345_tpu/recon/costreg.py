@@ -25,7 +25,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from one2345_tpu.nn.layers import MaskedBatchNorm, leaky_relu
+from one2345_tpu.nn.layers import MaskedBatchNorm
 
 
 def _mask_down(mask: jnp.ndarray) -> jnp.ndarray:

@@ -20,8 +20,6 @@ extraction runs on host.
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 # 6-tetrahedra decomposition of the unit cube around the 0-6 diagonal.

@@ -23,7 +23,7 @@ from one2345_tpu.core.config import ReconConfig
 from one2345_tpu.recon import mesh_extract
 from one2345_tpu.recon.featurenet import PyramidFeatureFusion
 from one2345_tpu.recon.rendering_network import GeneralRenderingNetwork
-from one2345_tpu.recon.renderer import compute_ray_diff, projector_features
+from one2345_tpu.recon.renderer import projector_features
 from one2345_tpu.recon.sdf_network import SdfVolumeNetwork, SingleVarianceNetwork
 
 _VERT_BUCKET = 65536  # vertex-count padding bucket (avoids recompiles)

@@ -15,7 +15,7 @@ Parity target: reconstruction/models/sparse_neus_renderer.py
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

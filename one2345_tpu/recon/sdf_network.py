@@ -16,7 +16,6 @@ dense/fixed-shape for TPU:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import flax.linen as nn

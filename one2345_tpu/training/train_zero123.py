@@ -33,7 +33,6 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     import jax
-    import numpy as np
 
     from one2345_tpu.core import checkpoint
     from one2345_tpu.core.compile_cache import enable as enable_cache
