@@ -18,7 +18,40 @@ import time
 import numpy as np
 
 
+def _device_watchdog(timeout_s: float = 240.0) -> bool:
+    """Device init can hang forever when the TPU tunnel is down — probe it
+    with a timeout so the bench fails fast with a diagnostic line."""
+    import concurrent.futures as cf
+
+    def probe():
+        import jax
+
+        return jax.devices()
+
+    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+        try:
+            devs = ex.submit(probe).result(timeout=timeout_s)
+            print(f"devices: {devs}", flush=True)
+            return True
+        except cf.TimeoutError:
+            return False
+
+
 def main():
+    if not _device_watchdog():
+        print(
+            json.dumps(
+                {
+                    "metric": "secs_image_to_mesh",
+                    "value": -1,
+                    "unit": "s",
+                    "vs_baseline": 0,
+                    "detail": {"error": "device init timed out (TPU tunnel down)"},
+                }
+            )
+        )
+        return
+
     from one2345_tpu.core.compile_cache import enable as enable_cache
 
     enable_cache()

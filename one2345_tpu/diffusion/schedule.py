@@ -51,7 +51,11 @@ def make_ddim_schedule(
     alphas_cumprod = np.cumprod(1.0 - betas)
 
     c = num_ddpm_timesteps // ddim_num_steps
-    ddim_timesteps = np.asarray(list(range(0, num_ddpm_timesteps, c))) + 1  # +1 offset
+    # +1 offset (util.py:58); clipped — when c divides the range exactly the
+    # reference's unclipped +1 would index past the schedule
+    ddim_timesteps = np.minimum(
+        np.asarray(list(range(0, num_ddpm_timesteps, c))) + 1, num_ddpm_timesteps - 1
+    )
 
     alphas = alphas_cumprod[ddim_timesteps]
     alphas_prev = np.asarray(

@@ -57,7 +57,8 @@ class One2345Service:
         """Re-sample a single stage-1 view (and refresh its nearby views)."""
         import jax
 
-        s1 = self._session["stage1_all"]
+        s1 = np.array(self._session["stage1_all"])  # writable copy
+        self._session["stage1_all"] = s1
         key = jax.random.key(seed)
         new_view = np.asarray(
             self.pipeline.zero123.stage1(
