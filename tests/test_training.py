@@ -104,3 +104,53 @@ def test_recon_scene_loss_tiny():
         lambda a, b: float(np.abs(a - np.asarray(b)).max()), before, state2.params
     )
     assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_recon_sharded_train_step():
+    """DataParallel equivalent: scenes sharded over the 8-device mesh."""
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU backend")
+
+    import jax.numpy as jnp
+
+    from one2345_tpu.core.config import ReconConfig
+    from one2345_tpu.core.meshes import create_mesh
+    from one2345_tpu.recon.pipeline import ReconStage
+    from one2345_tpu.training.recon_trainer import ReconTrainer
+
+    cfg = ReconConfig(
+        image_hw=(16, 16), vol_dims=(8, 8, 8), voxel_size=2.0 / 7.0,
+        n_samples=4, n_importance=4, n_rays=4, anneal_end=10,
+    )
+    stage = ReconStage(cfg, seed=0)
+    trainer = ReconTrainer(stage, cfg)
+    mesh = create_mesh(("data",))
+    step_fn, state_sh = trainer.make_sharded_train_step(mesh)
+
+    state = jax.device_put(trainer.init_state(), state_sh)
+    n = len(jax.devices())
+    rng = np.random.default_rng(0)
+    V, H, W, N = 3, 16, 16, 4
+    scenes = {
+        "images": rng.uniform(size=(n, V, H, W, 3)),
+        "affines": np.tile(np.eye(4), (n, V, 1, 1)),
+        "w2cs": np.tile(np.eye(4), (n, V, 1, 1)),
+        "intrinsics": np.tile(np.eye(3), (n, V, 1, 1)),
+        "near_far": np.tile(np.array([0.5, 1.5]), (n, 1)),
+        "rays_o": np.tile(np.array([0, 0, 1.2]), (n, N, 1)),
+        "rays_v": np.tile(np.array([0, 0, -1.0]), (n, N, 1)),
+        "rays_color": rng.uniform(size=(n, N, 3)),
+        "rays_mask": np.ones((n, N, 1)),
+    }
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    scenes = {
+        k: jax.device_put(jnp.asarray(v, jnp.float32), NamedSharding(mesh, P("data")))
+        for k, v in scenes.items()
+    }
+    state2, metrics = step_fn(state, scenes, jax.random.key(0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
