@@ -254,8 +254,9 @@ class SamMaskDecoder(nn.Module):
         iou_out = q[:, 0]
         mask_out = q[:, 1 : 1 + self.num_mask_tokens]
 
-        # upscale image features 64 -> 256
-        h = k.reshape(B, 64, 64, self.dim)
+        # upscale image features (64 -> 256 at full size)
+        grid = int(round(k.shape[1] ** 0.5))
+        h = k.reshape(B, grid, grid, self.dim)
         h = nn.ConvTranspose(self.dim // 4, (2, 2), (2, 2), name="upscale_conv1")(h)
         h = LayerNorm2d(name="upscale_ln")(h)
         h = nn.gelu(h, approximate=False)
@@ -334,6 +335,51 @@ class SamStage:
         sparse = sparse + params["extra"]["box_embed"]
         masks, iou = self.decoder.apply(params["decoder"], emb, image_pe, sparse[None])
         return masks[0], iou[0]
+
+    # --- SamPredictor-style cached interface (set_image once, many prompts)
+    def set_image(self, image: np.ndarray) -> dict:
+        """Encode an image once; returns a cache for repeated prompts
+        (SamPredictor.set_image semantics)."""
+        import cv2
+
+        H, W = image.shape[:2]
+        size = self.config.image_size
+        scale = size / max(H, W)
+        nh, nw = int(H * scale + 0.5), int(W * scale + 0.5)
+        resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        x = (resized.astype(np.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+        padded = np.zeros((size, size, 3), np.float32)
+        padded[:nh, :nw] = x
+        emb = self._encode(self.params, jnp.asarray(padded))
+        return {"embedding": emb, "scale": scale, "hw": (H, W), "nhw": (nh, nw)}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _encode(self, params, image):
+        return self.encoder.apply(params["encoder"], image[None])
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _decode(self, params, embedding, box):
+        c = self.config
+        pe_g = params["extra"]["pe_gaussian"]
+        grid = c.image_size // c.patch_size
+        image_pe = position_encoding_grid(pe_g, grid)[None]
+        corners = box.reshape(2, 2)
+        sparse = encode_point(pe_g, corners, float(c.image_size))
+        sparse = sparse + params["extra"]["box_embed"]
+        return self.decoder.apply(params["decoder"], embedding, image_pe, sparse[None])
+
+    def predict_box(self, cache: dict, bbox) -> np.ndarray:
+        """Mask from a box prompt against a cached image encoding."""
+        import cv2
+
+        H, W = cache["hw"]
+        nh, nw = cache["nhw"]
+        size = self.config.image_size
+        box = np.asarray(bbox, np.float32) * cache["scale"]
+        masks, iou = self._decode(self.params, cache["embedding"], jnp.asarray(box))
+        m = np.asarray(masks[0][-1], np.float32)
+        m = cv2.resize(m, (size, size))[:nh, :nw]
+        return cv2.resize(m, (W, H)) > 0.0
 
     def segment_bbox(self, image: np.ndarray, bbox) -> np.ndarray:
         """:param image: [H, W, 3] uint8; :param bbox: (x0, y0, x1, y1)
