@@ -1,0 +1,49 @@
+"""Full-image validation renderer (val_step parity) on a tiny config."""
+
+import numpy as np
+
+from one2345_tpu.core.config import ReconConfig
+from one2345_tpu.geometry import cameras as cam
+from one2345_tpu.recon.pipeline import ReconStage
+from one2345_tpu.recon.validation import Validator
+
+
+def test_render_view_tiny():
+    cfg = ReconConfig(
+        image_hw=(32, 32), vol_dims=(16, 16, 16), voxel_size=2.0 / 15.0,
+        n_samples=8, n_importance=8,
+    )
+    stage = ReconStage(cfg, seed=0)
+    val = Validator(stage, n_rays_chunk=256)
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(4, 32, 32, 3)).astype(np.float32)
+    pack = cam.build_recon_cameras(45.0)
+    sel = [0, 1, 2, 3, 4]
+    cams = {}
+    for k, v in pack.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 2 and len(v) >= 33:
+            cams[k] = v[sel]
+        else:
+            cams[k] = v
+    # rescale intrinsics from the 256-frame to 32^2
+    cams["intrinsics"] = pack["intrinsics"][sel] / 8.0
+    cams["intrinsics"][:, 2, 2] = 1.0
+    aff = np.tile(np.eye(4, dtype=np.float32)[None], (5, 1, 1))
+    aff[:, :3, :4] = np.einsum(
+        "vij,vjk->vik", cams["intrinsics"], cams["w2cs"][:, :3, :4]
+    )
+    cams["affines"] = aff
+    cams["near_fars"] = pack["near_fars"][sel]
+
+    out = val.render_view(images, cams, view_idx=0, H=16, W=16)
+    assert out["color"].shape == (16, 16, 3)
+    assert out["depth"].shape == (16, 16)
+    assert out["normal"].shape == (16, 16, 3)
+    for v in out.values():
+        assert np.isfinite(v).all()
+
+    panel = Validator.panel(out, gt=np.zeros((16, 16, 3), np.float32))
+    assert panel.shape == (16, 64, 3)
+    p = Validator.psnr(out["color"], out["color"])
+    assert p > 100  # identical images -> huge PSNR
