@@ -18,23 +18,56 @@ import time
 import numpy as np
 
 
-def _device_watchdog(timeout_s: float = 240.0) -> bool:
-    """Device init can hang forever when the TPU tunnel is down — probe it
-    with a timeout so the bench fails fast with a diagnostic line."""
-    import concurrent.futures as cf
+def _relay_ports_open() -> bool:
+    """The axon TPU tunnel relay (/root/.tpu_init.py) listens on 8082+.
+    Closed ports mean device init would hang forever."""
+    import socket
 
-    def probe():
-        import jax
-
-        return jax.devices()
-
-    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+    for port in (8082, 8083, 8087):
+        s = socket.socket()
+        s.settimeout(2)
         try:
-            devs = ex.submit(probe).result(timeout=timeout_s)
-            print(f"devices: {devs}", flush=True)
+            s.connect(("127.0.0.1", port))
             return True
-        except cf.TimeoutError:
-            return False
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
+def _device_watchdog(timeout_s: float = 240.0, retries: int = 3,
+                     retry_wait_s: float = 60.0) -> bool:
+    """Device init hangs forever when the TPU tunnel is down.  Probe
+    `jax.devices()` in a SUBPROCESS (a hung in-process thread would poison
+    the later real init) with a timeout, retrying a few times in case the
+    relay is momentarily re-establishing."""
+    import subprocess
+    import sys
+
+    probe_src = "import jax; print(jax.devices(), flush=True)"
+    for attempt in range(retries):
+        if not _relay_ports_open():
+            print(f"watchdog: relay ports closed (attempt {attempt + 1}/"
+                  f"{retries})", flush=True)
+        else:
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", probe_src],
+                    capture_output=True, text=True, timeout=timeout_s,
+                )
+                if out.returncode == 0 and out.stdout.strip() and \
+                        "CpuDevice" not in out.stdout:
+                    print(f"devices: {out.stdout.strip()}", flush=True)
+                    return True
+                print(f"watchdog: probe rc={out.returncode} "
+                      f"out={out.stdout.strip()[-200:]}", flush=True)
+            except subprocess.TimeoutExpired:
+                print(f"watchdog: probe timed out after {timeout_s}s "
+                      f"(attempt {attempt + 1}/{retries})", flush=True)
+        if attempt + 1 < retries:
+            time.sleep(retry_wait_s)
+    return False
 
 
 def main():
