@@ -43,15 +43,21 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Explicit symmetric padding (k//2 per side), NOT "SAME": for
+        # stride-2 convs on even-sized inputs XLA's SAME pads (1, 2) while
+        # torch Conv2d(k, s=2, p=k//2) pads symmetrically — the reference's
+        # strided FPN convs (featurenet.py:13-37) sample different taps.
         x = nn.Conv(
             self.features,
             tuple(self.kernel_size),
             strides=tuple(self.strides),
-            padding="SAME",
+            padding=[(k // 2, k // 2) for k in self.kernel_size],
             use_bias=False,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        # momentum 0.9 = torch BatchNorm's default (momentum=0.1 blend-in),
+        # not flax's 0.99
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         if self.act is not None:
             x = self.act(x)
         return x

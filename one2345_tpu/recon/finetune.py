@@ -181,9 +181,11 @@ class FinetuneTrainer:
         import optax
 
         self.stage = stage
-        # the SDF layer emits hidden_dim geometry features (d_out = hidden+1)
+        # the SDF layer emits hidden_dim outputs: channel 0 is the sdf, the
+        # remaining hidden_dim-1 are geometry features (matching the
+        # reference's d_feature=hidden_dim-1, sparse_sdf_network.py:606)
         self.blend_net = BlendingRenderingNetwork(
-            d_feature=stage.config.hidden_dim, d_hidden=stage.config.hidden_dim
+            d_feature=stage.config.hidden_dim - 1, d_hidden=stage.config.hidden_dim
         )
         self.tx = optax.adam(lr)
         self.tv_weight = tv_weight

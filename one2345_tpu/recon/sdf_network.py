@@ -40,7 +40,9 @@ class LatentSDFLayer(nn.Module):
     4 layers (3 linears), hidden 128, positional encoding multires 6
     (in 3 -> 39), latent (16ch) concatenated to every hidden layer input,
     geometric (IDR) initialization, weight norm, softplus(beta=100).
-    Output: [.., 1 + hidden] = (sdf, geometry features).
+    Output: [.., hidden] = (sdf, geometry features) — channel 0 is the sdf,
+    the remaining hidden-1 are features (reference sdf() slicing,
+    sparse_sdf_network.py:416-417).
     """
 
     d_hidden: int = 128
@@ -90,10 +92,15 @@ class LatentSDFLayer(nn.Module):
             x = jnp.concatenate([x, latent], axis=-1)
             x = WNDense(h, kernel_init=init_mid, dtype=self.dtype, name=f"lin{l}")(x)
             x = softplus100(x)
-        # last layer l = n_layers-2 (latent concat, no activation)
+        # last layer l = n_layers-2 (latent concat, no activation).
+        # Width is d_hidden, NOT d_hidden+1: the reference constructor's
+        # dims_out = [d_hidden]*(n_layers-1) + [d_out] only ever indexes
+        # dims_out[0..n_layers-2], so its d_out=hidden+1 argument is dead
+        # and ckpt_215000's lin2 is 128-wide (sparse_sdf_network.py:54,73;
+        # proven by tests/test_torch_parity.py::test_latent_sdf_layer_parity).
         x = jnp.concatenate([x, latent], axis=-1)
         x = WNDense(
-            h + 1,
+            h,
             kernel_init=init_last,
             bias_init=init_last_bias,
             dtype=self.dtype,

@@ -378,10 +378,16 @@ def convert_sam(sd, depth=32) -> dict:
 
 
 def _convtranspose(sd, key):
-    # torch ConvTranspose2d weight [I, O, kh, kw] -> flax [kh, kw, O, I]? no:
-    # flax ConvTranspose kernel is [kh, kw, I, O]
+    """torch ConvTranspose2d weight [I, O, kh, kw] -> flax ConvTranspose
+    kernel [kh, kw, I, O].
+
+    flax ConvTranspose (transpose_kernel=False) is a fractionally-strided
+    *forward* conv, not torch's gradient-of-conv, so the spatial taps must
+    additionally be flipped (verified numerically: without the flip a 2x2
+    stride-2 deconv produces mirrored output blocks;
+    tests/test_torch_parity.py::test_convtranspose_numeric)."""
     w = _np(sd[f"{key}.weight"])
-    out = {"kernel": np.transpose(w, (2, 3, 0, 1))}
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])}
     if f"{key}.bias" in sd:
         out["bias"] = _np(sd[f"{key}.bias"])
     return out
@@ -503,24 +509,32 @@ def convert_loftr(sd) -> dict:
 # --------------------------------------------------------------------------
 
 
-def _convbn(sd, key_conv, key_bn):
-    """ConvBnAct (Conv_0 + BatchNorm_0) from conv + InPlaceABN keys."""
+def _convbn(sd, key_conv, key_bn, eps=1e-5):
+    """ConvBnAct (Conv_0 + BatchNorm_0) from conv + InPlaceABN keys.
+
+    InPlaceABN's effective scale is ``|gamma| + eps`` (the official
+    mapillary implementation clamps gamma away from zero so the in-place
+    op stays invertible) — fold that into the converted BN scale."""
     p, s = _bn(sd, key_bn)
+    p = {**p, "scale": np.abs(p["scale"]) + eps}
     return (
         {"Conv_0": _conv(sd, key_conv, bias=False), "BatchNorm_0": p},
         {"BatchNorm_0": s},
     )
 
 
-def _sparse_conv3d(sd, key, transposed=False, order="xyz"):
+def _sparse_conv3d(sd, key, transposed=False, order="zyx"):
     """torchsparse spnn.Conv3d kernel [K, I, O] -> flax [kx, ky, kz, I, O].
 
-    K = 27 offsets; torchsparse enumerates offsets with the LAST coordinate
-    fastest for odd kernels.  ``order`` selects which axis is fastest in the
-    checkpoint ('xyz' = x slowest; flip to 'zyx' if meshes come out
-    mirrored — unvalidated without the real checkpoint in this environment).
-    Transposed convs additionally need a spatial flip (our decoder is
-    zero-upsample + forward conv, see recon/costreg.py).
+    K = 27 offsets.  torchsparse v1.4 ``get_kernel_offsets`` enumerates odd
+    kernels as ``[[x, y, z] for z in r for y in r for x in r]`` — x varies
+    FASTEST, z slowest — so ``w.reshape(k, k, k)`` yields axes (z, y, x) and
+    the default ``order='zyx'`` applies the (2, 1, 0) transpose to reach our
+    (kx, ky, kz) layout (validated against a vendored dense-equivalent of
+    the torchsparse enumeration in tests/test_torch_parity.py).
+    Transposed convs additionally need a full spatial flip: torchsparse
+    deconv scatters ``out[p + offset_k] += in[p] @ W[k]`` while our decoder
+    is zero-upsample + forward cross-correlation (recon/costreg.py).
     """
     w = _np(sd[f"{key}.kernel"] if f"{key}.kernel" in sd else sd[f"{key}.weight"])
     if w.ndim == 2:  # 1x1x1 kernel stored as [I, O]
@@ -544,7 +558,7 @@ def _wn_dense(sd, key):
     }
 
 
-def convert_recon(ckpt: dict, num_sdf_layers: int = 4, offset_order: str = "xyz") -> dict:
+def convert_recon(ckpt: dict, num_sdf_layers: int = 4, offset_order: str = "zyx") -> dict:
     """ckpt_215000.pth -> ReconStage params.
 
     ``ckpt`` is the torch checkpoint dict with keys sdf_network_lod0,

@@ -57,7 +57,9 @@ def test_latent_sdf_geometric_init():
     latent = jnp.zeros((256, 16))
     vars_ = jax.jit(mod.init)(jax.random.key(0), pts, latent)
     out = jax.jit(mod.apply)(vars_, pts, latent)
-    assert out.shape == (256, 129)
+    # last layer is d_hidden wide (reference dims_out never reaches its
+    # d_out=hidden+1 entry with n_layers=4; ch 0 = sdf, 1: = features)
+    assert out.shape == (256, 128)
     sdf = np.asarray(out[:, 0])
     r = np.asarray(jnp.linalg.norm(pts, axis=-1))
     # the IDR init yields approx c*(|x| - 0.5): check sign agreement away from 0.5
