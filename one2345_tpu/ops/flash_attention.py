@@ -1,4 +1,4 @@
-"""Pallas TPU flash attention (forward) for the UNet self-attention.
+"""Pallas TPU flash attention (forward + backward) for the UNet attention.
 
 The reference computes attention as unfused einsum + softmax + einsum
 (ldm/modules/attention.py:152-193), materializing the [T, T] score matrix in
@@ -6,9 +6,19 @@ HBM — at the UNet's 64x64 level that is a 4096^2 matrix per head.  This
 kernel keeps the online-softmax running statistics in VMEM and never writes
 scores to HBM.
 
-Design: grid over (batch*heads, query blocks); K/V for one (batch, head)
+Forward: grid over (batch*heads, query blocks); K/V for one (batch, head)
 live fully in VMEM (T <= 4096, d <= 160 after padding -> ~4 MB), the query
-block streams.  f32 accumulation; bf16 inputs welcome.
+block streams.  The per-row logsumexp L = m + log(l) is written as a
+residual for the backward pass.
+
+Backward (flash-attention-2 style, via jax.custom_vjp):
+- D_i = rowsum(dO_i * O_i) precomputed with XLA (cheap elementwise),
+- dQ kernel: grid over query blocks, loops KV blocks, recomputes
+  P = exp(S - L); dQ_i = scale * sum_j P*(dP - D) @ K_j,
+- dK/dV kernel: grid over KV blocks, loops query blocks;
+  dV_j = sum_i P^T dO_i, dK_j = scale * sum_i (P*(dP - D))^T Q_i.
+Scores are recomputed from Q/K in VMEM — nothing quadratic ever hits HBM,
+so training memory matches inference.  f32 accumulation throughout.
 """
 
 from __future__ import annotations
@@ -23,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_kv: int):
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                      block_kv: int):
     q = q_ref[0].astype(jnp.float32) * scale  # [BT, D]
     S = k_ref.shape[1]
     BT, D = q.shape
@@ -50,6 +61,173 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_kv: int):
     l = jnp.zeros((BT, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc, m, l))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, :] = (m + jnp.log(l))[:, 0]
+
+
+def _flash_bwd_dq_kernel(q_ref, do_ref, lse_ref, dsum_ref, k_ref, v_ref,
+                         dq_ref, *, scale: float, block_kv: int):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]  # [BT, 1]
+    dsum = dsum_ref[0][:, None]
+    S = k_ref.shape[1]
+    BT, D = q.shape
+
+    def body(j, dq):
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - dsum)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, S // block_kv, body, jnp.zeros((BT, D), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
+                          dk_ref, dv_ref, *, scale: float, block_q: int):
+    k = k_ref[0].astype(jnp.float32)  # [BKV, D]
+    v = v_ref[0].astype(jnp.float32)
+    T = q_ref.shape[1]
+    BKV, D = k.shape
+
+    def body(i, carry):
+        dk, dv = carry
+        qb = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        dob = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        dsum = dsum_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(
+            qb, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [BQ, BKV]
+        p = jnp.exp(s - lse)
+        dv_new = dv + jax.lax.dot_general(
+            p, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            dob, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - dsum)
+        dk_new = dk + jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_new, dv_new
+
+    dk = jnp.zeros((BKV, D), jnp.float32)
+    dv = jnp.zeros((BKV, D), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, T // block_q, body, (dk, dv))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# custom_vjp over folded [B*H, L, Dp] arrays
+# --------------------------------------------------------------------------
+
+
+def _fwd_impl(qf, kf, vf, scale, block_q, block_kv):
+    BH, Tp, Dp = qf.shape
+    Sp = kf.shape[1]
+    grid = (BH, Tp // block_q)
+    return pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, scale=scale, block_kv=block_kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tp, Dp), qf.dtype),
+            jax.ShapeDtypeStruct((BH, Tp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Tp * Sp * Dp,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=BH * Tp * Sp,
+        ),
+    )(qf, kf, vf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_folded(qf, kf, vf, scale, block_q, block_kv):
+    o, _ = _fwd_impl(qf, kf, vf, scale, block_q, block_kv)
+    return o
+
+
+def _flash_folded_fwd(qf, kf, vf, scale, block_q, block_kv):
+    o, lse = _fwd_impl(qf, kf, vf, scale, block_q, block_kv)
+    return o, (qf, kf, vf, o, lse)
+
+
+def _flash_folded_bwd(scale, block_q, block_kv, res, do):
+    qf, kf, vf, o, lse = res
+    BH, Tp, Dp = qf.shape
+    Sp = kf.shape[1]
+    dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [BH, Tp]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, block_kv=block_kv),
+        grid=(BH, Tp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, Tp, Dp), qf.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * BH * Tp * Sp * Dp,
+            bytes_accessed=(qf.size * 3 + kf.size * 2) * qf.dtype.itemsize,
+            transcendentals=BH * Tp * Sp,
+        ),
+    )(qf, do, lse, dsum, kf, vf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, block_q=block_q),
+        grid=(BH, Sp // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_kv, Dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, Dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, Dp), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, Dp), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, Dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, Dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Sp, Dp), kf.dtype),
+            jax.ShapeDtypeStruct((BH, Sp, Dp), vf.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * BH * Tp * Sp * Dp,
+            bytes_accessed=(qf.size * 2 + kf.size * 3) * qf.dtype.itemsize,
+            transcendentals=BH * Tp * Sp,
+        ),
+    )(kf, vf, qf, do, lse, dsum)
+
+    return dq, dk, dv
+
+
+_flash_folded.defvjp(_flash_folded_fwd, _flash_folded_bwd)
 
 
 def _pad_to(x, axis, m):
@@ -69,7 +247,8 @@ def flash_attention(
     block_q: int = 256,
     block_kv: int = 256,
 ) -> jnp.ndarray:
-    """Multi-head attention, softmax(q k^T / sqrt(d)) v.
+    """Multi-head attention, softmax(q k^T / sqrt(d)) v.  Differentiable
+    (flash backward kernels via custom_vjp).
 
     :param q: [B, T, H, D]; :param k/v: [B, S, H, D]
     :return: [B, T, H, D] in q's dtype
@@ -92,30 +271,7 @@ def flash_attention(
     kf = fold(k, S)
     vf = fold(v, S)
 
-    Tp = qf.shape[1]
-    Sp = kf.shape[1]
-    Dp = qf.shape[2]
-
-    grid = (B * H, Tp // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_kv=block_kv),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B * H, Tp, Dp), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Tp * Sp * Dp,
-            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
-            transcendentals=B * H * Tp * Sp,
-        ),
-    )(qf, kf, vf)
-
+    out = _flash_folded(qf, kf, vf, scale, block_q, block_kv)
     out = out[:, :T, :D].reshape(B, H, T, D)
     return jnp.moveaxis(out, 1, 2)
 

@@ -27,7 +27,8 @@ from one2345_tpu.recon.sdf_network import SdfVolumeNetwork
 
 
 class ReconTrainState(NamedTuple):
-    params: Any
+    params: Any       # trainable parameters only (per-network trees)
+    batch_stats: Any  # BN running statistics (updated, never differentiated)
     opt_state: Any
     step: jnp.ndarray
 
@@ -51,8 +52,26 @@ class ReconTrainer:
         )
 
     def init_state(self) -> ReconTrainState:
-        params = self.stage.params
-        return ReconTrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+        """Split the stage variables into trainable params and BN running
+        stats: the reference trains on batch statistics (InPlaceABN /
+        spnn.BatchNorm, featurenet.py:11-37) and running stats are buffers,
+        not parameters — the optimizer must never touch them."""
+        variables = self.stage.params
+        params = {k: v["params"] for k, v in variables.items()}
+        stats = {k: v.get("batch_stats", {}) for k, v in variables.items()}
+        return ReconTrainState(
+            params, stats, self.tx.init(params), jnp.zeros((), jnp.int32)
+        )
+
+    def stage_variables(self, state: ReconTrainState) -> dict:
+        """Reassemble per-network flax variable dicts (for ReconStage use)."""
+        out = {}
+        for k, p in state.params.items():
+            v = {"params": p}
+            if state.batch_stats.get(k):
+                v["batch_stats"] = state.batch_stats[k]
+            out[k] = v
+        return out
 
     def alpha_inter_ratio(self, step):
         end = self.cfg.anneal_end
@@ -61,38 +80,53 @@ class ReconTrainer:
         return jnp.minimum(1.0, step / end)
 
     # ------------------------------------------------------------- forward
-    def scene_loss(self, params, scene, step, key):
+    def scene_loss(self, params, batch_stats, scene, step, key):
         """Loss for ONE scene (train_step + cal_losses_sdf).
 
         scene: {'images' [V,H,W,3] (view 0 = reference), 'affines' [V,4,4],
                 'w2cs' [V,4,4], 'intrinsics' [V,3,3], 'near_far' [2],
                 'rays_o'/'rays_v' [N,3], 'rays_color' [N,3], 'rays_mask' [N,1]}
+
+        Runs the BN-bearing networks in TRAIN mode (batch statistics, as
+        InPlaceABN/spnn.BatchNorm do in the reference trainer) and returns
+        the updated running stats in the aux output.
         """
         st = self.stage
         cfg = self.cfg
         imgs = scene["images"]
         H, W = imgs.shape[1], imgs.shape[2]
 
-        feats = st.fusion.apply(params["fusion"], imgs)
+        feats, fus_upd = st.fusion.apply(
+            {"params": params["fusion"], "batch_stats": batch_stats["fusion"]},
+            imgs, True, mutable=["batch_stats"],
+        )
         # conditional volume from the source views only (trainer_generic:192-200)
-        vol_out = st.sdf_net.apply(
-            params["sdf"], feats[1:], scene["affines"][1:], (H, W),
-            method=SdfVolumeNetwork.build_volume,
+        vol_out, sdf_upd = st.sdf_net.apply(
+            {"params": params["sdf"], "batch_stats": batch_stats["sdf"]},
+            feats[1:], scene["affines"][1:], (H, W), True,
+            method=SdfVolumeNetwork.build_volume, mutable=["batch_stats"],
         )
         volume, mask_volume = vol_out["volume"], vol_out["mask"]
+        new_stats = {
+            **batch_stats,
+            "fusion": fus_upd["batch_stats"],
+            "sdf": sdf_upd["batch_stats"],
+        }
+
+        sdf_vars = {"params": params["sdf"], "batch_stats": batch_stats["sdf"]}
 
         def sdf_fn(pts):
-            return st.sdf_net.apply(params["sdf"], pts, volume, method=SdfVolumeNetwork.sdf)
+            return st.sdf_net.apply(sdf_vars, pts, volume, method=SdfVolumeNetwork.sdf)
 
         def sdf_grad_fn(pts):
             return st.sdf_net.apply(
-                params["sdf"], pts, volume, method=SdfVolumeNetwork.sdf_and_gradient
+                sdf_vars, pts, volume, method=SdfVolumeNetwork.sdf_and_gradient
             )
 
         def render_net_fn(geo, rgb, rd, m):
-            return st.render_net.apply(params["render"], geo, rgb, rd, m)
+            return st.render_net.apply({"params": params["render"]}, geo, rgb, rd, m)
 
-        inv_variance = st.variance_net.apply(params["variance"])
+        inv_variance = st.variance_net.apply({"params": params["variance"]})
 
         # rendering uses ALL views with the reference view as query; the
         # projector excludes the query view from the support set
@@ -174,7 +208,7 @@ class ReconTrainer:
             "fg_bg_loss": fg_bg_loss,
             "variance": out["variance"],
         }
-        return loss, metrics
+        return loss, (metrics, new_stats)
 
     def _anneal_weight(self, step, weight):
         """get_weight (trainer_generic.py:1130-1150): ramp from anneal_start
@@ -192,15 +226,24 @@ class ReconTrainer:
         def batch_loss(params):
             n = jax.tree_util.tree_leaves(scenes)[0].shape[0]
             keys = jax.random.split(key, n)
-            losses, metrics = jax.vmap(
-                lambda sc, k: self.scene_loss(params, sc, state.step, k)
+            losses, (metrics, stats) = jax.vmap(
+                lambda sc, k: self.scene_loss(params, state.batch_stats, sc,
+                                              state.step, k)
             )(scenes, keys)
-            return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
+            # average the per-scene BN stat updates (the XLA analogue of
+            # cross-replica buffer sync DataParallel never does)
+            stats = jax.tree_util.tree_map(lambda x: x.mean(axis=0), stats)
+            return jnp.mean(losses), (jax.tree_util.tree_map(jnp.mean, metrics), stats)
 
-        (loss, metrics), grads = jax.value_and_grad(batch_loss, has_aux=True)(state.params)
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            batch_loss, has_aux=True
+        )(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return ReconTrainState(params, opt_state, state.step + 1), metrics
+        return (
+            ReconTrainState(params, new_stats, opt_state, state.step + 1),
+            metrics,
+        )
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state, scenes, key):

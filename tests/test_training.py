@@ -96,6 +96,7 @@ def test_recon_scene_loss_tiny():
     scenes = {k: jnp.asarray(v) for k, v in scenes.items()}
     # train_step donates the state; snapshot params before stepping
     before = jax.tree_util.tree_map(np.asarray, state.params)
+    before_stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
     state2, metrics = trainer.train_step(state, scenes, jax.random.key(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
@@ -104,6 +105,14 @@ def test_recon_scene_loss_tiny():
         lambda a, b: float(np.abs(a - np.asarray(b)).max()), before, state2.params
     )
     assert max(jax.tree_util.tree_leaves(d)) > 0
+    # BN running statistics moved too (train-mode BN, reference
+    # featurenet.py:11-37 — InPlaceABN/spnn.BatchNorm train on batch stats)
+    for key in ("fusion", "sdf"):
+        ds = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+            before_stats[key], state2.batch_stats[key],
+        )
+        assert max(jax.tree_util.tree_leaves(ds)) > 0, key
 
 
 def test_recon_sharded_train_step():
