@@ -188,24 +188,39 @@ class Zero123Stage:
         cfg_scale = self.config.cfg_scale if cfg_scale is None else cfg_scale
         steps = steps or self.config.ddim_steps_stage1
         T = jnp.asarray(pose_tokens(delta_x_deg, delta_y_deg))
+        n_views = cond_images.shape[0]
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # pad the view batch up to a multiple of the mesh so every
+            # stage shards evenly (4 -> 8, 28 -> 32 on an 8-chip mesh; the
+            # pad rows repeat the last view and are sliced off below) —
+            # cheaper than replicating whenever B % n_dev != 0
+            n_dev = self.mesh.devices.size
+            pad = (-n_views) % n_dev
+            cond_images = jnp.asarray(cond_images)
+            if pad:
+                cond_images = jnp.concatenate(
+                    [cond_images, jnp.repeat(cond_images[-1:], pad, axis=0)], axis=0
+                )
+                T = jnp.concatenate([T, jnp.repeat(T[-1:], pad, axis=0)], axis=0)
             data = NamedSharding(self.mesh, P("data"))
-            cond_images = jax.device_put(jnp.asarray(cond_images), data)
+            cond_images = jax.device_put(cond_images, data)
             T = jax.device_put(T, data)
         if sampler == "plms":
             sched = make_ddim_schedule(
                 steps, self.config.timesteps, 0.0,
                 self.config.linear_start, self.config.linear_end,
             )
-            return self._sample_views_plms_jit(
+            out = self._sample_views_plms_jit(
                 self.params, cond_images, T, key, sched, cfg_scale
             )
-        sched = self._schedule(steps)
-        return self._sample_views_jit(
-            self.params, cond_images, T, key, sched, cfg_scale
-        )
+        else:
+            sched = self._schedule(steps)
+            out = self._sample_views_jit(
+                self.params, cond_images, T, key, sched, cfg_scale
+            )
+        return out[:n_views]
 
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cfg_scale",))
     def _sample_views_plms_jit(self, params, cond_images, T, key, sched, cfg_scale):

@@ -13,7 +13,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from one2345_tpu.pipeline.runner import One2345Pipeline
+from one2345_tpu.pipeline.runner import One2345Pipeline, UnsafeImageError
+
+
+def _unsafe_placeholder(size: int) -> np.ndarray:
+    """Flat mid-gray stand-in for the demo's unsafe.png (app.py:383)."""
+    return np.full((size, size, 3), 0.5, np.float32)
 
 
 class One2345Service:
@@ -23,12 +28,53 @@ class One2345Service:
         self.pipeline = pipeline or One2345Pipeline()
         self._session: dict = {}
 
+    # ---- bbox initializer for the slider flow (demo/app.py init_bbox:418)
+    def init_bbox(self, image: np.ndarray) -> dict:
+        """Estimate the foreground bbox of the (thumbnailed) input.
+
+        :return: {'bbox': (x0, y0, x1, y1) in the 512-thumb frame,
+                  'preview': uint8 RGB with the box drawn}
+        """
+        from PIL import Image
+
+        from one2345_tpu.utils import image as img_utils
+
+        pil = img_utils.thumbnail(Image.fromarray(image), 512)
+        arr = np.asarray(pil)
+        if arr.shape[-1] == 4:
+            rgb = (img_utils.composite_white(arr.astype(np.float32) / 255.0) * 255
+                   ).astype(np.uint8)
+        else:
+            rgb = arr.copy()
+        x0, y0, x1, y1 = img_utils.estimate_bbox(rgb)
+        preview = rgb.copy()
+        color = np.array([88, 191, 131], np.uint8)  # app.py:398 box color
+        t = max(2, max(preview.shape) // 200)
+        preview[y0:y0 + t, x0:x1] = color
+        preview[max(y1 - t, 0):y1, x0:x1] = color
+        preview[y0:y1, x0:x0 + t] = color
+        preview[y0:y1, max(x1 - t, 0):x1] = color
+        return {"bbox": (int(x0), int(y0), int(x1), int(y1)), "preview": preview}
+
     # ---- /preprocess (demo/app.py preprocess_run:388)
-    def preprocess(self, image: np.ndarray) -> np.ndarray:
-        """Segment + recenter; returns the 256^2 white-bg input image."""
-        out = self.pipeline.preprocess(image)
+    def preprocess(
+        self, image: np.ndarray, bbox: tuple[int, int, int, int] | None = None
+    ) -> np.ndarray:
+        """NSFW gate -> segment (optional bbox-slider prompt) -> recenter.
+        A flagged image returns the unsafe placeholder (app.py:376-391) and
+        sets session['unsafe']."""
+        try:
+            out = self.pipeline.preprocess(image, bbox=bbox)
+        except UnsafeImageError:
+            self._session["unsafe"] = True
+            return _unsafe_placeholder(self.pipeline.config.diffusion.image_size)
+        self._session["unsafe"] = False
         self._session["input_256"] = out
         return out
+
+    @property
+    def last_input_unsafe(self) -> bool:
+        return bool(self._session.get("unsafe", False))
 
     # ---- /estimate_elevation (demo/app.py stage1_run:276 + elevation)
     def estimate_elevation(self, image: np.ndarray | None = None, seed: int = 0) -> float:
@@ -55,22 +101,58 @@ class One2345Service:
     # ---- per-view retry (demo/app.py stage1_run(is_rerun):306-322)
     def regenerate_view(self, view_idx: int, seed: int = 0) -> np.ndarray:
         """Re-sample a single stage-1 view (and refresh its nearby views)."""
+        return self.regenerate_views([view_idx], seed)[0]
+
+    def regenerate_views(self, view_idxs: list[int], seed: int = 0) -> np.ndarray:
+        """Re-sample the selected stage-1 views — the demo's 'Regenerate
+        selected view(s)' checkboxes (app.py:276-322 is_rerun path)."""
         import jax
 
         s1 = np.array(self._session["stage1_all"])  # writable copy
         self._session["stage1_all"] = s1
         key = jax.random.key(seed)
-        new_view = np.asarray(
+        new_views = np.asarray(
             self.pipeline.zero123.stage1(
-                self._session["input_256"], key, indices=[view_idx]
+                self._session["input_256"], key, indices=list(view_idxs)
             )
-        )[0]
-        s1[view_idx] = new_view
-        if view_idx == 0:
+        )
+        for k, idx in enumerate(view_idxs):
+            s1[idx] = new_views[k]
+        if 0 in view_idxs:
             self._session["stage2_v0"] = np.asarray(
                 self.pipeline.zero123.stage2(s1[:1], jax.random.fold_in(key, 1))
             )
-        return new_view
+        return new_views
+
+    # ---- regenerate-mesh chaining (demo/app.py regen_mesh_btn:622-626)
+    def regenerate_mesh(
+        self, out_dir: str | None = None, mesh_resolution: int = 256, seed: int = 0
+    ) -> dict:
+        """Re-run stage 2 + reconstruction from the (possibly retried)
+        cached stage-1 views."""
+        return self.generate_mesh(out_dir, mesh_resolution, seed)
+
+    # ---- camera-pose visualization (demo/app.py CameraVisualizer:112,
+    #      calc_cam_cone_pts_3d:48) as frontend-agnostic polyline data
+    def camera_visualization(self, polar: float | None = None) -> dict:
+        """Frustum-cone polylines for the input view + the 8 stage-1 views.
+
+        :return: {'input_cone': [16,3], 'view_cones': [8,16,3],
+                  'image': the preprocessed input or None}
+        """
+        from one2345_tpu.geometry import cameras as cam
+        from one2345_tpu.utils.image import camera_cone_points
+
+        polar = self._session.get("polar", 90.0) if polar is None else polar
+        pack = cam.build_recon_cameras(float(polar))
+        input_cone = camera_cone_points(np.asarray(pack["c2ws"][0]))
+        view_c2ws = np.linalg.inv(np.asarray(pack["target_w2cs"]))  # stage-1 ring
+        cones = np.stack([camera_cone_points(c) for c in view_c2ws])
+        return {
+            "input_cone": input_cone,
+            "view_cones": cones,
+            "image": self._session.get("input_256"),
+        }
 
     # ---- /generate_mesh (demo/app.py stage2_run:324)
     def generate_mesh(
@@ -105,7 +187,12 @@ class One2345Service:
 
 
 def build_gradio_app(service: One2345Service | None = None):
-    """Optional Gradio UI (gated: gradio is not baked into this image)."""
+    """Optional Gradio UI mirroring the reference demo surface
+    (demo/app.py:441-626): bbox sliders with live preview, per-view retry
+    checkboxes + regenerate-mesh chaining, camera-cone pose plot.
+
+    Gated: gradio is not baked into this image — the service methods above
+    carry all the logic so any frontend can wrap them."""
     try:
         import gradio as gr
     except ImportError as e:  # pragma: no cover
@@ -113,19 +200,83 @@ def build_gradio_app(service: One2345Service | None = None):
 
     service = service or One2345Service()
     with gr.Blocks(title="One-2-3-45 TPU") as demo:
-        inp = gr.Image(label="Input image", type="numpy")
-        pre = gr.Image(label="Preprocessed (256x256)")
-        elev = gr.Number(label="Estimated elevation (deg)")
-        mesh_file = gr.Model3D(label="Mesh")
+        with gr.Row():
+            with gr.Column():
+                inp = gr.Image(label="Input image", type="numpy")
+                bbox_preview = gr.Image(label="Foreground bbox")
+                with gr.Row():
+                    x_min = gr.Slider(0, 512, 0, step=1, label="bbox x_min")
+                    y_min = gr.Slider(0, 512, 0, step=1, label="bbox y_min")
+                with gr.Row():
+                    x_max = gr.Slider(0, 512, 512, step=1, label="bbox x_max")
+                    y_max = gr.Slider(0, 512, 512, step=1, label="bbox y_max")
+                pre = gr.Image(label="Preprocessed (256x256)")
+            with gr.Column():
+                elev = gr.Number(label="Estimated elevation (deg)")
+                cam_plot = gr.Plot(label="Camera poses")
+                views = gr.Gallery(label="Stage-1 views", columns=4)
+                retry = gr.CheckboxGroup(
+                    [str(i) for i in range(8)], label="Retry view(s)"
+                )
+                mesh_file = gr.Model3D(label="Mesh")
         b1 = gr.Button("Preprocess")
-        b2 = gr.Button("Estimate elevation")
+        b2 = gr.Button("Estimate elevation & views")
         b3 = gr.Button("Generate mesh")
-        b1.click(service.preprocess, inp, pre, api_name="preprocess")
-        b2.click(lambda: service.estimate_elevation(), None, elev, api_name="estimate_elevation")
+        b4 = gr.Button("Regenerate selected view(s)")
+        b5 = gr.Button("Regenerate nearby views and mesh")
+
+        def _init_bbox(image):
+            out = service.init_bbox(image)
+            x0, y0, x1, y1 = out["bbox"]
+            return out["preview"], x0, y0, x1, y1
+
+        inp.change(_init_bbox, inp, [bbox_preview, x_min, y_min, x_max, y_max])
+
+        def _pre(image, x0, y0, x1, y1):
+            return service.preprocess(image, bbox=(int(x0), int(y0), int(x1), int(y1)))
+
+        b1.click(_pre, [inp, x_min, y_min, x_max, y_max], pre, api_name="preprocess")
+
+        def _cam_figure():
+            import plotly.graph_objects as go
+
+            viz = service.camera_visualization()
+            fig = go.Figure()
+            for cone, name in [(viz["input_cone"], "input")] + [
+                (c, f"view {i}") for i, c in enumerate(viz["view_cones"])
+            ]:
+                fig.add_trace(
+                    go.Scatter3d(
+                        x=cone[:, 0], y=cone[:, 1], z=cone[:, 2],
+                        mode="lines", name=name,
+                    )
+                )
+            return fig
+
+        def _estimate():
+            e = service.estimate_elevation()
+            s1 = service._session["stage1_all"]
+            gallery = [(np.clip(s1[i] * 255, 0, 255)).astype(np.uint8) for i in range(8)]
+            return e, _cam_figure(), gallery
+
+        b2.click(_estimate, None, [elev, cam_plot, views], api_name="estimate_elevation")
 
         def _gen():
             out = service.generate_mesh(out_dir="exp/gradio")
             return out.get("path")
 
         b3.click(_gen, None, mesh_file, api_name="generate_mesh")
+
+        def _retry(selected):
+            service.regenerate_views([int(s) for s in selected])
+            s1 = service._session["stage1_all"]
+            return [(np.clip(s1[i] * 255, 0, 255)).astype(np.uint8) for i in range(8)]
+
+        b4.click(_retry, retry, views)
+
+        def _regen_mesh():
+            out = service.regenerate_mesh(out_dir="exp/gradio")
+            return out.get("path")
+
+        b5.click(_regen_mesh, None, mesh_file)
     return demo

@@ -7,10 +7,12 @@ TPU re-design vs the reference:
 - no subprocesses, no PNG round-trips between stages: all four ML stages are
   in-process jitted programs exchanging device arrays (artifact PNGs +
   pose.json are *optional exports* for compatibility);
-- stage-1 always samples all 12 candidate views in one batch (identical
-  shapes regardless of the elevation branch -> zero recompilation across
-  inputs; the reference re-runs 4-view batches per branch);
-- stage-2 samples all 8x4 views in one batch.
+- stage-1 samples each elevation ring as one 4-view batch with identical
+  shapes in both branches (-> zero recompilation across inputs; the
+  reference loops per image);
+- stage-2 samples all remaining 7x4 views in one batch;
+- with >1 visible chip the view x CFG batch of every sampler call shards
+  over a `data` mesh axis (padded to the mesh size when uneven).
 """
 
 from __future__ import annotations
@@ -24,6 +26,12 @@ from one2345_tpu.core.config import PipelineConfig
 from one2345_tpu.core.profiling import Timer
 from one2345_tpu.geometry import cameras as cam
 from one2345_tpu.utils import image as img_utils
+
+
+class UnsafeImageError(RuntimeError):
+    """Raised when the safety checker flags the input image
+    (the library-level equivalent of demo/app.py:376-386 returning the
+    unsafe-placeholder image)."""
 
 
 @dataclass
@@ -46,24 +54,46 @@ class One2345Pipeline:
         config: PipelineConfig | None = None,
         params: dict | None = None,
         use_sam: bool = True,
+        mesh=None,
+        auto_mesh: bool = True,
     ):
+        """:param mesh: `jax.sharding.Mesh` with a `data` axis for view-batch
+        sharding of the diffusion stage.  With ``auto_mesh`` (default) a 1-D
+        mesh over all local devices is created automatically whenever more
+        than one chip is visible and the stage batches (8 / 56 view x CFG)
+        divide the device count — single-chip behavior is unchanged."""
         self.config = config or PipelineConfig()
         params = params or {}
         self._params = params
         self.use_sam = use_sam
+        self._mesh = mesh
+        self._auto_mesh = auto_mesh
         self._zero123 = None
         self._recon = None
         self._sam = None
         self._elev = None
+        self._safety = None
 
     # lazy stage constructors -------------------------------------------------
+    def _resolve_mesh(self):
+        if self._mesh is None and self._auto_mesh:
+            n = len(jax.devices())
+            # stage batches are 8 / 56 (views x CFG) — shard only over
+            # divisor-of-8 meshes so every program splits evenly
+            if n > 1 and 8 % n == 0:
+                from one2345_tpu.core.meshes import create_mesh
+
+                self._mesh = create_mesh(("data",))
+        return self._mesh
+
     @property
     def zero123(self):
         if self._zero123 is None:
             from one2345_tpu.diffusion.zero123 import Zero123Stage
 
             self._zero123 = Zero123Stage(
-                self.config.diffusion, self._params.get("zero123")
+                self.config.diffusion, self._params.get("zero123"),
+                mesh=self._resolve_mesh(),
             )
         return self._zero123
 
@@ -97,6 +127,38 @@ class One2345Pipeline:
             )
         return self._elev
 
+    @property
+    def safety(self):
+        if self._safety is None:
+            from one2345_tpu.segmentation.safety import SafetyChecker
+
+            sp = self._params.get("safety")
+            self._safety = sp if isinstance(sp, SafetyChecker) else SafetyChecker(
+                **(sp or {})
+            )
+        return self._safety
+
+    def check_safety(self, rgb_uint8: np.ndarray) -> bool:
+        """NSFW gate on the raw input (demo/app.py nsfw_check:376-386):
+        CLIP-embed the image and score it against the concept embeddings.
+        Free when no safety weights are loaded (checker flags nothing)."""
+        if not self.safety.has_weights:
+            return False
+        import jax.numpy as jnp
+
+        from one2345_tpu.diffusion.clip import preprocess_for_clip
+
+        x = rgb_uint8.astype(np.float32) / 127.5 - 1.0  # [-1, 1]
+        emb = np.asarray(
+            self.zero123.clip.apply(
+                self.zero123.params["clip"],
+                preprocess_for_clip(
+                    jnp.asarray(x[None]), self.config.diffusion.clip.image_size
+                ),
+            )
+        )
+        return bool(self.safety.check(emb)[0])
+
     # checkpointing -----------------------------------------------------------
     def save_params(self, path: str) -> None:
         """Persist every constructed stage's params as one orbax tree."""
@@ -114,9 +176,20 @@ class One2345Pipeline:
         checkpoint.save(path, tree)
 
     # stages ------------------------------------------------------------------
-    def preprocess(self, raw_image: np.ndarray) -> np.ndarray:
+    def preprocess(
+        self,
+        raw_image: np.ndarray,
+        bbox: tuple[int, int, int, int] | None = None,
+        safety_check: bool = True,
+    ) -> np.ndarray:
         """uint8 RGB(A) -> [256, 256, 3] float [0,1] recentered on white
-        (run.py preprocess: thumbnail 512 -> SAM bbox segment -> recenter)."""
+        (run.py preprocess: thumbnail 512 -> SAM bbox segment -> recenter).
+
+        :param bbox: optional (x0, y0, x1, y1) prompt override in the
+            512-thumbnail frame — the demo's bbox-slider flow
+            (demo/app.py:418,607-614); default = rembg-style estimate.
+        :raises UnsafeImageError: when the safety checker flags the image.
+        """
         from PIL import Image
 
         pil = Image.fromarray(raw_image)
@@ -126,8 +199,11 @@ class One2345Pipeline:
             rgb = (img_utils.composite_white(arr.astype(np.float32) / 255.0) * 255).astype(np.uint8)
         else:
             rgb = arr
+        if safety_check and self.check_safety(rgb):
+            raise UnsafeImageError("NSFW content detected")
         if self.use_sam:
-            bbox = img_utils.estimate_bbox(rgb)
+            if bbox is None:
+                bbox = img_utils.estimate_bbox(rgb)
             mask = self.sam.segment_bbox(rgb, bbox)
         else:
             bg = ~np.all(rgb > 245, axis=-1)

@@ -26,6 +26,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+# Largest accepted request body (a base64 PNG of a few-megapixel image fits
+# comfortably; anything bigger is rejected with 413 instead of being read
+# into memory on trust of Content-Length).
+MAX_BODY_BYTES = 32 * 1024 * 1024
+
 
 def _decode_image(b64: str) -> np.ndarray:
     from PIL import Image
@@ -70,6 +75,9 @@ def make_handler(service, lock: threading.Lock):
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_BODY_BYTES:
+                    self._json({"error": "request body too large"}, 413)
+                    return
                 req = json.loads(self.rfile.read(n) or b"{}")
                 with lock:
                     if self.path == "/preprocess":
@@ -106,7 +114,13 @@ def make_handler(service, lock: threading.Lock):
     return Handler
 
 
-def serve(service=None, port: int = 8080, host: str = "0.0.0.0"):
+def serve(service=None, port: int = 8080, host: str = "127.0.0.1"):
+    """Serve the pipeline over HTTP.
+
+    Binds to loopback by default — each request can trigger multi-minute
+    accelerator work and there is no auth or rate limiting here; put a
+    fronting layer (reverse proxy / API gateway) in charge of both before
+    exposing on a routable interface (pass --host 0.0.0.0 explicitly)."""
     from one2345_tpu.pipeline.api import One2345Service
 
     service = service or One2345Service()
@@ -120,7 +134,8 @@ def main(argv=None):
 
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address; 0.0.0.0 only behind an authenticating proxy")
     args = p.parse_args(argv)
     serve(port=args.port, host=args.host)
 

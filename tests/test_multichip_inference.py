@@ -24,3 +24,25 @@ def test_sharded_sampler_matches_single_device():
     # every shard holds a slice of the view batch
     assert len(out.sharding.device_set) == len(jax.devices())
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4)
+
+
+def test_sharded_sampler_pads_uneven_batches():
+    """B=4 views on an 8-chip mesh: the batch pads to 8, shards, and the
+    pad rows are sliced off (the runner's stage-1 half-ring batches)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU backend")
+
+    from tests.test_diffusion import tiny_config
+    from one2345_tpu.core.meshes import create_mesh
+    from one2345_tpu.diffusion.zero123 import Zero123Stage
+
+    cfg = tiny_config()
+    stage = Zero123Stage(cfg, seed=0)
+    img = np.random.default_rng(0).uniform(size=(32, 32, 3)).astype(np.float32)
+    idx = [0, 1, 2, 3]
+    ref = np.asarray(stage.stage1(img, jax.random.key(1), indices=idx, steps=2))
+
+    mesh = create_mesh(("data",))
+    stage_sh = Zero123Stage(cfg, params=stage.params, mesh=mesh)
+    out = np.asarray(stage_sh.stage1(img, jax.random.key(1), indices=idx, steps=2))
+    assert out.shape == ref.shape  # pad rows removed

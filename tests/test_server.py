@@ -40,6 +40,34 @@ def test_healthz(server_url):
         assert json.loads(r.read()) == {"ok": True}
 
 
+def test_oversized_body_rejected(server_url):
+    """Content-Length beyond MAX_BODY_BYTES gets 413 without being read
+    (raw socket: urllib would rewrite the Content-Length header)."""
+    import socket
+
+    from one2345_tpu.pipeline import server as srv
+
+    host, port = server_url.rsplit("/", 1)[-1].split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(
+            (
+                "POST /preprocess HTTP/1.1\r\nHost: t\r\n"
+                f"Content-Length: {srv.MAX_BODY_BYTES + 1}\r\n"
+                "Content-Type: application/json\r\n\r\n"
+            ).encode()
+        )
+        status = s.recv(4096).decode(errors="replace").splitlines()[0]
+    assert " 413 " in status
+
+
+def test_default_bind_is_loopback():
+    import inspect
+
+    from one2345_tpu.pipeline import server as srv
+
+    assert inspect.signature(srv.serve).parameters["host"].default == "127.0.0.1"
+
+
 def test_endpoints_roundtrip(server_url):
     from PIL import Image
 
