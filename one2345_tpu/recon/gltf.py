@@ -102,21 +102,91 @@ def load_glb(path: str):
         blen, btype = struct.unpack("<II", f.read(8))
         blob = f.read(blen)
 
+    _NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}
+    _DTYPE = {5120: np.int8, 5121: np.uint8, 5122: np.int16, 5123: np.uint16,
+              5125: np.uint32, 5126: np.float32}
+
     def read_accessor(i):
         acc = gltf["accessors"][i]
         view = gltf["bufferViews"][acc["bufferView"]]
-        start = view["byteOffset"]
-        data = blob[start : start + view["byteLength"]]
-        dt = np.float32 if acc["componentType"] == _COMPONENT_F32 else np.uint32
-        arr = np.frombuffer(data, dt)
-        return arr.reshape(-1, 3) if acc["type"] == "VEC3" else arr
+        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        dt = np.dtype(_DTYPE[acc["componentType"]])
+        n = _NCOMP[acc["type"]]
+        count = acc["count"]
+        stride = view.get("byteStride") or dt.itemsize * n
+        if stride == dt.itemsize * n:
+            arr = np.frombuffer(blob, dt, count * n, start).reshape(count, n)
+        else:  # interleaved attributes
+            raw = np.frombuffer(blob, np.uint8, stride * count, start)
+            arr = np.stack([
+                np.frombuffer(raw[k * stride:(k + 1) * stride].tobytes(), dt, n)
+                for k in range(count)
+            ])
+        return arr[:, 0] if n == 1 else arr
 
-    prim = gltf["meshes"][0]["primitives"][0]
-    verts = read_accessor(prim["attributes"]["POSITION"])
-    faces = read_accessor(prim["indices"]).reshape(-1, 3)
-    colors = (
-        read_accessor(prim["attributes"]["COLOR_0"])
-        if "COLOR_0" in prim["attributes"]
-        else None
-    )
+    # Walk the scene graph (external GLBs like the reference's
+    # render/examples/objaverse/backpack_gt.glb split the object into many
+    # node-transformed meshes); merge every triangle primitive into one mesh.
+    def node_matrix(node):
+        if "matrix" in node:
+            return np.asarray(node["matrix"], np.float32).reshape(4, 4).T
+        M = np.eye(4, dtype=np.float32)
+        if "scale" in node:
+            M[:3, :3] *= np.asarray(node["scale"], np.float32)
+        if "rotation" in node:  # quaternion x, y, z, w
+            x, y, z, w = node["rotation"]
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ], np.float32)
+            M[:3, :3] = R @ M[:3, :3]
+        if "translation" in node:
+            M[:3, 3] = node["translation"]
+        return M
+
+    all_v, all_f, all_c = [], [], []
+    n_verts = 0
+
+    def visit(node_idx, parent_m):
+        nonlocal n_verts
+        node = gltf["nodes"][node_idx]
+        M = parent_m @ node_matrix(node)
+        if "mesh" in node:
+            for prim in gltf["meshes"][node["mesh"]]["primitives"]:
+                if prim.get("mode", 4) != 4:  # triangles only
+                    continue
+                v = read_accessor(prim["attributes"]["POSITION"]).astype(np.float32)
+                if "indices" in prim:
+                    f = np.asarray(read_accessor(prim["indices"]), np.int64).reshape(-1, 3)
+                else:
+                    f = np.arange(len(v), dtype=np.int64).reshape(-1, 3)
+                v = v @ M[:3, :3].T + M[:3, 3]
+                all_v.append(v)
+                all_f.append(f + n_verts)
+                c = (read_accessor(prim["attributes"]["COLOR_0"])
+                     if "COLOR_0" in prim["attributes"] else
+                     np.full((len(v), 3), 0.7, np.float32))
+                all_c.append(np.asarray(c, np.float32)[:, :3])
+                n_verts += len(v)
+        for child in node.get("children", []):
+            visit(child, M)
+
+    if gltf.get("scenes"):
+        roots = gltf["scenes"][gltf.get("scene", 0)]["nodes"]
+    elif gltf.get("nodes"):
+        roots = range(len(gltf["nodes"]))
+    else:
+        roots = []
+        all_v = [read_accessor(gltf["meshes"][0]["primitives"][0]["attributes"]["POSITION"])]
+        prim0 = gltf["meshes"][0]["primitives"][0]
+        all_f = [np.asarray(read_accessor(prim0["indices"]), np.int64).reshape(-1, 3)]
+        all_c = [np.full((len(all_v[0]), 3), 0.7, np.float32)]
+    eye = np.eye(4, dtype=np.float32)
+    for r in roots:
+        visit(r, eye)
+
+    verts = np.concatenate(all_v).astype(np.float32)
+    faces = np.concatenate(all_f).astype(np.int32)
+    colors = np.concatenate(all_c).astype(np.float32)
     return verts, faces, colors
