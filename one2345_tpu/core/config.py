@@ -136,6 +136,11 @@ class ReconConfig(_ConfigBase):
     lod1_voxel_size: float = 2.0 / 191.0
     lod1_d_compress: int = 8
     lod1_prune_threshold: float = 0.02
+    # depth-map-filtered pruning (trainer_generic prune_depth_filter:131;
+    # depth maps traced at size/4, band = d_plane_nums * voxel_size,
+    # get_valid_sparse_coords_by_sdf_depthfilter call at :467-473)
+    lod1_prune_depth_filter: bool = False
+    lod1_depth_plane_nums: int = 12
     # feature nets
     ch_in: int = 56
     d_pyramid_feature_compress: int = 16

@@ -164,6 +164,67 @@ class ReconStage:
         )
         return ((occ > 0)[..., None] & (mask_lod0 > 0))
 
+    @functools.partial(jax.jit, static_argnums=(0, 8))
+    def prune_occupancy_depth_filter(
+        self, params, volume_lod0, mask_lod0, affines, intrinsics, c2ws,
+        near_far, size_hw=(256, 256),
+    ):
+        """Depth-map-filtered near-surface pruning (the reference's
+        prune_depth_filter path): sphere-trace lod0 depth maps at size/4
+        (trainer_generic.py:443-449, near*1.5), then keep an |sdf| < tau
+        voxel only if >=1 source view sees it within +-d_plane_nums voxels
+        of its predicted depth — this drops the SDF's useless back-side
+        shell (filter_pts_by_depthmaps, sparse_neus_renderer.py:687-743).
+
+        :param affines: [V, 4, 4] K @ w2c in the normalized volume space
+        :param intrinsics: [V, 4, 4] (or [V, 3, 3]) per-view K
+        :param c2ws: [V, 4, 4] normalized-space camera-to-world
+        :param near_far: [2]
+        """
+        from one2345_tpu.geometry.projection import project_points
+        from one2345_tpu.geometry.sampling import bilinear_sample
+        from one2345_tpu.recon.fast_renderer import extract_depth_maps
+
+        cfg = self.config
+        X = cfg.vol_dims[0]
+        u = self.field_grid(params, volume_lod0, X).astype(jnp.float32)
+        occ_sdf = jnp.abs(u) < cfg.lod1_prune_threshold
+
+        H, W = size_hw
+        h, w = H // 4, W // 4
+        K = intrinsics[:, :3, :3]
+        K_l4 = K.at[:, :2, :].multiply(0.25)  # intrinsics_l_4x
+        near, far = near_far[0], near_far[1]
+        sdf_vol = (-u)[..., None]  # field_grid returns -sdf (mc convention)
+        depth, hit = extract_depth_maps(
+            sdf_vol, K_l4, c2ws, h, w, near * 1.5, far
+        )  # [V, h, w] ray-distance depth
+        depth = (depth * hit)[..., None]  # zero where no surface was hit
+
+        pts = self.sdf_net.voxel_world_coords().reshape(-1, 3)
+        band = cfg.lod1_depth_plane_nums * cfg.voxel_size
+
+        def view_ok(dmap, proj, c2w):
+            x, y, z = project_points(pts, proj)
+            gx = 2.0 * x / (W - 1) - 1.0
+            gy = 2.0 * y / (H - 1) - 1.0
+            inside = (jnp.abs(gx) <= 1.0) & (jnp.abs(gy) <= 1.0) & (z > 0)
+            px = (gx + 1.0) * 0.5 * (w - 1)
+            py = (gy + 1.0) * 0.5 * (h - 1)
+            d = bilinear_sample(dmap, px, py, padding="zeros")[:, 0]
+            dist = jnp.linalg.norm(pts - c2w[:3, 3], axis=-1)
+            valid_d = d > 0.5 * near
+            lo = jnp.clip(d - band, near, far)
+            hi = jnp.clip(d + band, near, far)
+            return inside & valid_d & (dist > lo) & (dist < hi)
+
+        ok = jax.vmap(view_ok)(depth, affines, c2ws).any(axis=0)  # [X^3]
+        occ = (occ_sdf & ok.reshape(occ_sdf.shape)).astype(jnp.float32)
+        occ = jax.lax.reduce_window(
+            occ, -jnp.inf, jax.lax.max, (7, 7, 7), (1, 1, 1), "SAME"
+        )
+        return (occ > 0)[..., None] & (mask_lod0 > 0)
+
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def field_grid(self, params, volume, resolution: int, lod: int = 0):
         """Dense -sdf field over [-1,1]^3, computed in ONE device program.
@@ -307,7 +368,17 @@ class ReconStage:
             # coarse-to-fine: prune near-surface lod0 voxels, build the
             # 192^3 fine volume conditioned on them (export_mesh_step lod1
             # path, trainer_generic.py:903-934)
-            pre_mask = self.prune_occupancy(self.params, volume, mask_volume)
+            if cfg.lod1_prune_depth_filter:
+                pre_mask = self.prune_occupancy_depth_filter(
+                    self.params, volume, mask_volume,
+                    jnp.asarray(cameras["affines"][src]),
+                    jnp.asarray(cameras["intrinsics"][src]),
+                    jnp.asarray(cameras["c2ws"][src]),
+                    jnp.asarray(cameras["near_fars"][1]),
+                    tuple(cfg.image_hw),
+                )
+            else:
+                pre_mask = self.prune_occupancy(self.params, volume, mask_volume)
             out1 = self.conditional_volume_lod1(
                 self.params, feats, jnp.asarray(cameras["affines"][src]),
                 pre_mask, volume,

@@ -2,19 +2,24 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from one2345_tpu.core.config import ReconConfig
 from one2345_tpu.geometry import cameras as cam
 from one2345_tpu.recon.pipeline import ReconStage
 
 
-def test_lod1_volume_and_reconstruct():
+@pytest.mark.parametrize("depth_filter", [False, True])
+def test_lod1_volume_and_reconstruct(depth_filter):
     cfg = ReconConfig(
         num_lods=2,
         vol_dims=(16, 16, 16), voxel_size=2.0 / 15.0,
         lod1_vol_dims=(32, 32, 32), lod1_voxel_size=2.0 / 31.0,
         lod1_d_compress=8,
         mesh_resolution=24,
+        # depth-filtered pruning variant (prune_depth_filter path,
+        # sparse_neus_renderer.py:687-820)
+        lod1_prune_depth_filter=depth_filter,
     )
     stage = ReconStage(cfg, seed=0)
     assert "sdf_lod1" in stage.params
