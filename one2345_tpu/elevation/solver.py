@@ -191,6 +191,22 @@ class ElevationEstimator:
             packed.append((k0, k1, conf * valid, valid))
         return packed
 
+    def save_match_visualizations(
+        self, images: np.ndarray, out_dir: str,
+        masks: np.ndarray | None = None,
+    ) -> list[str]:
+        """Dump one matching figure per pair — the reference's elevation
+        debugging tool (elevation_estimate/utils/plotting.py:154)."""
+        from one2345_tpu.elevation.loftr import MatchResult
+        from one2345_tpu.elevation.plotting import save_match_figures
+
+        packed = self.match_views(images, masks)
+        matches = {
+            pair: MatchResult(k0, k1, conf, valid)
+            for pair, (k0, k1, conf, valid) in zip(PAIRS, packed)
+        }
+        return save_match_figures(images, matches, out_dir)
+
     def estimate(self, images: np.ndarray, masks: np.ndarray | None = None):
         """:param images: [4, H, W, 3] float [0,1] (nearby views of view 0)
         :return: elevation in degrees, or None when no pair matched."""
