@@ -25,8 +25,11 @@ def build(force: bool = False) -> str | None:
         if os.path.getmtime(_SO) >= newest_src:
             return _SO
     try:
+        # no -march=native: the .so is built on first use on whatever host
+        # runs it (it is gitignored), and portable codegen avoids SIGILL if
+        # a build cache moves between machines
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
             + _SRC
             + ["-o", _SO],
             check=True,
