@@ -22,11 +22,45 @@ def build_parser():
     p.add_argument("--max_steps", type=int, default=100_000)
     p.add_argument("--ckpt_every", type=int, default=5000)  # yaml modelcheckpoint
     p.add_argument("--log_every", type=int, default=50)
+    # ImageLogger parity (yaml:96-111): periodic EMA sample grids
+    p.add_argument("--sample_every", type=int, default=2000,
+                   help="dump EMA sample grids every N steps (0 = off)")
+    p.add_argument("--sample_views", type=int, default=4)
+    p.add_argument("--sample_steps", type=int, default=25)
     p.add_argument("--exp_dir", type=str, default="exp/zero123_finetune")
     p.add_argument("--init_params", type=str, default=None, help="orbax dir (converted zero123-xl)")
     p.add_argument("--model_shards", type=int, default=1, help="FSDP-style param sharding factor")
     p.add_argument("--total_views", type=int, default=12)
     return p
+
+
+def log_samples(stage, state, sample_batch, out_path: str, steps: int, seed: int):
+    """EMA sample grid: rows = (conditioning image, sampled view, target)
+    — the Lightning ImageLogger callback's role (yaml:96-111)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from one2345_tpu.utils.image import image_grid
+
+    ema = jax.device_get(state.ema_params)
+    params = {**stage.params, "unet": ema["unet"],
+              "cc_projection": ema["cc_projection"]}
+    sched = stage._schedule(steps)
+    cond = jnp.asarray(sample_batch["image_cond"])
+    T = jnp.asarray(sample_batch["T"])
+    samples = np.asarray(stage._sample_views_jit(
+        params, cond, T, jax.random.key(seed), sched, stage.config.cfg_scale
+    ))  # [B, H, W, 3] in [0, 1]
+    cond01 = (np.asarray(sample_batch["image_cond"]) + 1.0) / 2.0
+    target01 = (np.asarray(sample_batch["image_target"]) + 1.0) / 2.0
+    B = samples.shape[0]
+    grid = image_grid(
+        np.concatenate([cond01, samples, target01]).astype(np.float32), 3, B
+    )
+    Image.fromarray((np.clip(grid, 0, 1) * 255).astype(np.uint8)).save(out_path)
+    return out_path
 
 
 def main(argv=None):
@@ -67,10 +101,24 @@ def main(argv=None):
 
     key = jax.random.key(0)
     t0 = time.time()
+    sample_batch = None
     for step_idx in range(args.max_steps):
         batch = next(batches)
+        if sample_batch is None and args.sample_every:
+            import os
+
+            os.makedirs(f"{args.exp_dir}/samples", exist_ok=True)
+            n = args.sample_views
+            sample_batch = {k2: v[:n] for k2, v in batch.items()}
         key, k = jax.random.split(key)
         state, loss = step_fn(state, frozen, batch, k)
+        if args.sample_every and step_idx > 0 and step_idx % args.sample_every == 0:
+            path = log_samples(
+                stage, state, sample_batch,
+                f"{args.exp_dir}/samples/step_{step_idx:06d}.png",
+                args.sample_steps, step_idx,
+            )
+            print(f"sample grid -> {path}", flush=True)
         if step_idx % args.log_every == 0:
             loss = float(loss)
             rate = args.log_every * args.batch_size / max(time.time() - t0, 1e-9)

@@ -21,6 +21,8 @@ def main(argv=None):
     p.add_argument("--sam", type=str, default=None, help="sam_vit_h_4b8939.pth")
     p.add_argument("--loftr", type=str, default=None, help="indoor_ds_new.ckpt")
     p.add_argument("--recon", type=str, default=None, help="ckpt_215000.pth")
+    p.add_argument("--safety", type=str, default=None,
+                   help="HF stable-diffusion-safety-checker state dict (.pt/.bin)")
     p.add_argument("--out", type=str, required=True)
     args = p.parse_args(argv)
 
@@ -43,6 +45,19 @@ def main(argv=None):
 
         ckpt = torch.load(args.recon, map_location="cpu", weights_only=False)
         tree["recon"] = cw.convert_recon(ckpt)
+    if args.safety:
+        print(f"converting {args.safety} ...")
+        from one2345_tpu.segmentation.safety import convert_safety_checker
+
+        checker = convert_safety_checker(cw.load_torch_state_dict(args.safety))
+        tree["safety"] = {
+            "concept_embeds": checker.concept_embeds,
+            "concept_thresholds": checker.concept_thresholds,
+            "special_embeds": checker.special_embeds,
+            "special_thresholds": checker.special_thresholds,
+            # thresholds above are already x1.2-scaled — load with scale 1
+            "threshold_scale": 1.0,
+        }
     if not tree:
         p.error("nothing to convert — pass at least one checkpoint path")
 
