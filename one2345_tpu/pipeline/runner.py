@@ -148,13 +148,25 @@ class One2345Pipeline:
 
         from one2345_tpu.diffusion.clip import preprocess_for_clip
 
-        x = rgb_uint8.astype(np.float32) / 127.5 - 1.0  # [-1, 1]
+        embed = getattr(self, "_clip_embed_jit", None)
+        if embed is None:
+            # one compiled program per process — un-jitted flax apply would
+            # dispatch the whole CLIP tower op-by-op on every request
+            embed = jax.jit(self.zero123.clip.apply)
+            self._clip_embed_jit = embed
+
+        # host-side resize to the fixed CLIP frame (as the HF feature
+        # extractor does) so the jitted program sees ONE input shape —
+        # request images vary in size/aspect and would retrace otherwise
+        from PIL import Image
+
+        csize = self.config.diffusion.clip.image_size
+        im = Image.fromarray(rgb_uint8).resize((csize, csize), Image.BICUBIC)
+        x = np.asarray(im).astype(np.float32) / 127.5 - 1.0  # [-1, 1]
         emb = np.asarray(
-            self.zero123.clip.apply(
+            embed(
                 self.zero123.params["clip"],
-                preprocess_for_clip(
-                    jnp.asarray(x[None]), self.config.diffusion.clip.image_size
-                ),
+                preprocess_for_clip(jnp.asarray(x[None]), csize),
             )
         )
         return bool(self.safety.check(emb)[0])
@@ -214,6 +226,30 @@ class One2345Pipeline:
         return img_utils.recenter_rescale(
             rgba, out_size=self.config.diffusion.image_size
         )
+
+    def warmup(self, mesh_resolution: int | None = None) -> dict:
+        """Compile every stage graph once on synthetic input (cold-start
+        elimination for serving: the first real request then runs at steady
+        state).  Returns the per-stage timings of the warm-up run."""
+        rng = np.random.default_rng(0)
+        size = self.config.diffusion.image_size
+        img = np.ones((size, size, 3), np.float32)
+        q = size // 4
+        img[q : 3 * q, q : 3 * q] = rng.uniform(0.2, 0.8, (2 * q, 2 * q, 3))
+        if self.use_sam:
+            # the SAM ViT-H encoder/decoder graphs are on the /preprocess
+            # hot path — compile them too, not just the mesh stages
+            pre = np.full((512, 512, 3), 255, np.uint8)
+            pre[128:384, 128:384] = (
+                rng.uniform(40, 200, (256, 256, 3)).astype(np.uint8)
+            )
+            self.preprocess(pre, safety_check=False)
+        result = self.run(
+            img, skip_preprocess=True,
+            mesh_resolution=mesh_resolution or self.config.mesh_resolution,
+            seed=0,
+        )
+        return result.timings
 
     def run(
         self,

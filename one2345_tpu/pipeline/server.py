@@ -48,6 +48,8 @@ def _encode_image(arr: np.ndarray) -> str:
 
 def make_handler(service, lock: threading.Lock):
     class Handler(BaseHTTPRequestHandler):
+        timeout = 60  # a stalled client cannot hold the worker forever
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -76,7 +78,19 @@ def make_handler(service, lock: threading.Lock):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if n > MAX_BODY_BYTES:
+                    # mark the connection non-reusable and drain a bounded
+                    # amount of the in-flight body so the client receives
+                    # the 413 instead of a TCP RST from closing on unread
+                    # data (beyond the cap we just close; abuse-sized
+                    # uploads are not worth reading)
+                    self.close_connection = True
                     self._json({"error": "request body too large"}, 413)
+                    remaining = min(n, 2 * MAX_BODY_BYTES)
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
                     return
                 req = json.loads(self.rfile.read(n) or b"{}")
                 with lock:
@@ -114,16 +128,24 @@ def make_handler(service, lock: threading.Lock):
     return Handler
 
 
-def serve(service=None, port: int = 8080, host: str = "127.0.0.1"):
+def serve(service=None, port: int = 8080, host: str = "127.0.0.1",
+          warmup: bool = False):
     """Serve the pipeline over HTTP.
 
     Binds to loopback by default — each request can trigger multi-minute
     accelerator work and there is no auth or rate limiting here; put a
     fronting layer (reverse proxy / API gateway) in charge of both before
-    exposing on a routable interface (pass --host 0.0.0.0 explicitly)."""
+    exposing on a routable interface (pass --host 0.0.0.0 explicitly).
+
+    ``warmup`` compiles every stage graph before accepting traffic, so the
+    first request runs at steady state instead of paying cold compiles."""
     from one2345_tpu.pipeline.api import One2345Service
 
     service = service or One2345Service()
+    if warmup:
+        print("warming up (compiling all stage graphs)...", flush=True)
+        timings = service.pipeline.warmup()
+        print(f"warm: {timings}", flush=True)
     server = ThreadingHTTPServer((host, port), make_handler(service, threading.Lock()))
     print(f"serving on {host}:{port}")
     server.serve_forever()
@@ -136,8 +158,10 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address; 0.0.0.0 only behind an authenticating proxy")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile all stage graphs before accepting traffic")
     args = p.parse_args(argv)
-    serve(port=args.port, host=args.host)
+    serve(port=args.port, host=args.host, warmup=args.warmup)
 
 
 if __name__ == "__main__":

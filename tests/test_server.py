@@ -60,6 +60,38 @@ def test_oversized_body_rejected(server_url):
     assert " 413 " in status
 
 
+def test_warmup_compiles_at_production_shapes():
+    """pipeline.warmup() runs the full graph once at the configured shapes
+    (serving cold-start elimination) and reports stage timings."""
+    from one2345_tpu.pipeline.runner import One2345Pipeline
+
+    calls = {}
+
+    class _Probe(One2345Pipeline):
+        def run(self, image, **kw):
+            calls["shape"] = image.shape
+            calls["kw"] = kw
+
+            class R:
+                timings = {"stage1": 0.0}
+
+            return R()
+
+    from one2345_tpu.core.config import PipelineConfig, ReconConfig
+
+    from tests.test_diffusion import tiny_config
+
+    pipe = _Probe(
+        PipelineConfig(diffusion=tiny_config(), recon=ReconConfig(mesh_resolution=24)),
+        use_sam=False,
+    )
+    t = pipe.warmup()
+    s = pipe.config.diffusion.image_size
+    assert calls["shape"] == (s, s, 3)
+    assert calls["kw"]["skip_preprocess"] is True
+    assert t == {"stage1": 0.0}
+
+
 def test_default_bind_is_loopback():
     import inspect
 
