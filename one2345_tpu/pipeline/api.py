@@ -66,9 +66,12 @@ class One2345Service:
         try:
             out = self.pipeline.preprocess(image, bbox=bbox)
         except UnsafeImageError:
+            # wipe ALL cached stage state: downstream endpoints must not
+            # silently serve the previous request's image/views/mesh
+            self._session.clear()
             self._session["unsafe"] = True
             return _unsafe_placeholder(self.pipeline.config.diffusion.image_size)
-        self._session["unsafe"] = False
+        self._session.clear()
         self._session["input_256"] = out
         return out
 
@@ -98,16 +101,31 @@ class One2345Service:
         )
         return 90.0 - polar  # the demo reports elevation above the equator
 
+    def selected_view_indices(self) -> list[int]:
+        """The 8 stage-1 view ids the mesh is built from — elevation-
+        dependent (run.py:41-54): ring 4..7 below 75 deg polar, 8..11 above."""
+        polar = self._session.get("polar", 90.0)
+        return list(range(8)) if polar <= 75 else list(range(4)) + list(range(8, 12))
+
     # ---- per-view retry (demo/app.py stage1_run(is_rerun):306-322)
-    def regenerate_view(self, view_idx: int, seed: int = 0) -> np.ndarray:
+    def regenerate_view(self, view_idx: int, seed: int | None = None) -> np.ndarray:
         """Re-sample a single stage-1 view (and refresh its nearby views)."""
         return self.regenerate_views([view_idx], seed)[0]
 
-    def regenerate_views(self, view_idxs: list[int], seed: int = 0) -> np.ndarray:
+    def regenerate_views(
+        self, view_idxs: list[int], seed: int | None = None
+    ) -> np.ndarray:
         """Re-sample the selected stage-1 views — the demo's 'Regenerate
-        selected view(s)' checkboxes (app.py:276-322 is_rerun path)."""
+        selected view(s)' checkboxes (app.py:276-322 is_rerun path).
+
+        With no explicit seed each call draws from a fresh per-session
+        counter, so repeated retries of a bad view produce NEW candidates
+        (matching the demo's re-randomized retry)."""
         import jax
 
+        if seed is None:
+            seed = 1000 + self._session.get("retry_count", 0)
+            self._session["retry_count"] = self._session.get("retry_count", 0) + 1
         s1 = np.array(self._session["stage1_all"])  # writable copy
         self._session["stage1_all"] = s1
         key = jax.random.key(seed)
@@ -163,9 +181,8 @@ class One2345Service:
         from one2345_tpu.geometry import cameras as cam
 
         cfg = self.pipeline.config
-        polar = self._session["polar"]
         s1_all = self._session["stage1_all"]
-        sel = list(range(8)) if polar <= 75 else list(range(4)) + list(range(8, 12))
+        sel = self.selected_view_indices()
         stage1_images = s1_all[sel]
         rest = np.asarray(
             self.pipeline.zero123.stage2(
@@ -174,7 +191,7 @@ class One2345Service:
             )
         )
         stage2_images = np.concatenate([self._session["stage2_v0"], rest], axis=0)
-        camera_pack = cam.build_recon_cameras(polar)
+        camera_pack = cam.build_recon_cameras(self._session["polar"])
         src = stage2_images.reshape(-1, *stage2_images.shape[2:])
         out_path = f"{out_dir}/mesh.ply" if out_dir else None
         if out_dir:
@@ -256,7 +273,8 @@ def build_gradio_app(service: One2345Service | None = None):
         def _estimate():
             e = service.estimate_elevation()
             s1 = service._session["stage1_all"]
-            gallery = [(np.clip(s1[i] * 255, 0, 255)).astype(np.uint8) for i in range(8)]
+            sel = service.selected_view_indices()
+            gallery = [(np.clip(s1[i] * 255, 0, 255)).astype(np.uint8) for i in sel]
             return e, _cam_figure(), gallery
 
         b2.click(_estimate, None, [elev, cam_plot, views], api_name="estimate_elevation")
@@ -268,9 +286,12 @@ def build_gradio_app(service: One2345Service | None = None):
         b3.click(_gen, None, mesh_file, api_name="generate_mesh")
 
         def _retry(selected):
-            service.regenerate_views([int(s) for s in selected])
+            # checkbox labels are gallery SLOTS (0..7); map to the actual
+            # elevation-dependent view ids (8..11 in the high branch)
+            sel = service.selected_view_indices()
+            service.regenerate_views([sel[int(s)] for s in selected])
             s1 = service._session["stage1_all"]
-            return [(np.clip(s1[i] * 255, 0, 255)).astype(np.uint8) for i in range(8)]
+            return [(np.clip(s1[i] * 255, 0, 255)).astype(np.uint8) for i in sel]
 
         b4.click(_retry, retry, views)
 

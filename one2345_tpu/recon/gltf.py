@@ -164,10 +164,16 @@ def load_glb(path: str):
                 v = v @ M[:3, :3].T + M[:3, 3]
                 all_v.append(v)
                 all_f.append(f + n_verts)
-                c = (read_accessor(prim["attributes"]["COLOR_0"])
-                     if "COLOR_0" in prim["attributes"] else
-                     np.full((len(v), 3), 0.7, np.float32))
-                all_c.append(np.asarray(c, np.float32)[:, :3])
+                if "COLOR_0" in prim["attributes"]:
+                    ci = prim["attributes"]["COLOR_0"]
+                    c = np.asarray(read_accessor(ci), np.float32)
+                    ct = gltf["accessors"][ci]["componentType"]
+                    if ct != _COMPONENT_F32:
+                        # normalized integer colors (uint8/uint16) -> [0,1]
+                        c = c / np.float32(np.iinfo(_DTYPE[ct]).max)
+                else:
+                    c = np.full((len(v), 3), 0.7, np.float32)
+                all_c.append(c[:, :3])
                 n_verts += len(v)
         for child in node.get("children", []):
             visit(child, M)

@@ -209,6 +209,11 @@ class ReconStage:
             gx = 2.0 * x / (W - 1) - 1.0
             gy = 2.0 * y / (H - 1) - 1.0
             inside = (jnp.abs(gx) <= 1.0) & (jnp.abs(gy) <= 1.0) & (z > 0)
+            # x*(w-1)/(W-1) reproduces the reference chain exactly: it
+            # renders at quarter res, F.interpolates to full size with
+            # align_corners=True, then grid_samples align_corners=True
+            # (trainer_generic.py:447-449 + filter_pts_by_depthmaps) —
+            # i.e. corner-to-corner mapping, NOT the x/4 center mapping.
             px = (gx + 1.0) * 0.5 * (w - 1)
             py = (gy + 1.0) * 0.5 * (h - 1)
             d = bilinear_sample(dmap, px, py, padding="zeros")[:, 0]
