@@ -42,17 +42,22 @@ def relative_pose_token(cond_c2w: np.ndarray, target_c2w: np.ndarray) -> np.ndar
     return np.array([d_t, np.sin(d_az), np.cos(d_az), r_tgt - r_cond], np.float32)
 
 
-def _load_view(path: str, size: int = 256, bg: float = 1.0) -> np.ndarray:
-    """RGBA render -> [size, size, 3] in [-1, 1] with white composite."""
-    from PIL import Image
-
-    img = Image.open(path)
+def _decode_view(img, size: int = 256, bg: float = 1.0) -> np.ndarray:
+    """RGBA render (PIL image) -> [size, size, 3] in [-1, 1], white composite."""
     if img.size != (size, size):
+        from PIL import Image
+
         img = img.resize((size, size), Image.LANCZOS)
     arr = np.asarray(img).astype(np.float32) / 255.0
     if arr.shape[-1] == 4:
         arr = arr[..., :3] * arr[..., 3:] + bg * (1.0 - arr[..., 3:])
     return arr * 2.0 - 1.0
+
+
+def _load_view(path: str, size: int = 256, bg: float = 1.0) -> np.ndarray:
+    from PIL import Image
+
+    return _decode_view(Image.open(path), size, bg)
 
 
 class ObjaverseViewsDataset:
@@ -101,6 +106,104 @@ class ObjaverseViewsDataset:
     def batches(self, batch_size: int) -> Iterator[dict]:
         while True:
             samples = [self.sample() for _ in range(batch_size)]
+            yield {
+                k: np.stack([s[k] for s in samples]).astype(np.float32)
+                for k in samples[0]
+            }
+
+
+class ObjaverseTarShards:
+    """Streaming tar-shard loader — the webdataset ingestion path of the
+    reference training config (ObjaverseDataModuleFromConfig,
+    ldm/data/simple.py:168, batch 192 from tar shards).
+
+    Shard layout (views_release packing): members named
+    ``<uid>/<idx>.png`` (RGBA render) + ``<uid>/<idx>.npy`` ([3,4]/[4,4]
+    c2w).  Objects are yielded as their members complete; a shuffle buffer
+    decorrelates neighbors.  Pure stdlib (tarfile) — no webdataset dep;
+    host threads (Prefetcher) overlap decode with device steps.
+    """
+
+    def __init__(self, shard_paths: list[str], image_size: int = 256,
+                 shuffle_buffer: int = 256, seed: int = 0, loop: bool = True):
+        if not shard_paths:
+            raise ValueError("no shards given")
+        self.shards = list(shard_paths)
+        self.image_size = image_size
+        self.shuffle_buffer = shuffle_buffer
+        self.loop = loop
+        self.rng = np.random.default_rng(seed)
+
+    # ---- shard walking ----------------------------------------------------
+    def _iter_objects(self) -> Iterator[dict]:
+        """Yield {'pngs': {idx: bytes}, 'cams': {idx: np [4,4]}} per object."""
+        import io
+        import tarfile
+
+        while True:
+            order = list(self.shards)
+            self.rng.shuffle(order)
+            for shard in order:
+                with tarfile.open(shard, "r|*") as tf:  # stream, no seeks
+                    current_uid, pngs, cams = None, {}, {}
+                    for m in tf:
+                        if not m.isfile() or "/" not in m.name:
+                            continue
+                        uid, fname = m.name.split("/", 1)
+                        if current_uid is not None and uid != current_uid:
+                            if pngs and cams:
+                                yield {"pngs": pngs, "cams": cams}
+                            pngs, cams = {}, {}
+                        current_uid = uid
+                        stem, ext = os.path.splitext(fname)
+                        data = tf.extractfile(m).read()
+                        if ext == ".png":
+                            pngs[stem] = data
+                        elif ext == ".npy":
+                            m4 = np.load(io.BytesIO(data))
+                            if m4.shape == (3, 4):
+                                m4 = np.concatenate([m4, [[0, 0, 0, 1]]], axis=0)
+                            cams[stem] = m4
+                    if pngs and cams:
+                        yield {"pngs": pngs, "cams": cams}
+            if not self.loop:
+                return
+
+    def samples(self) -> Iterator[dict]:
+        import io
+
+        from PIL import Image
+
+        def emit(obj):
+            keys = sorted(set(obj["pngs"]) & set(obj["cams"]))
+            ic, it = self.rng.choice(len(keys), 2, replace=False)
+            kc, kt = keys[int(ic)], keys[int(it)]
+            return {
+                "image_cond": _decode_view(
+                    Image.open(io.BytesIO(obj["pngs"][kc])), self.image_size
+                ),
+                "image_target": _decode_view(
+                    Image.open(io.BytesIO(obj["pngs"][kt])), self.image_size
+                ),
+                "T": relative_pose_token(obj["cams"][kc], obj["cams"][kt])[None],
+            }
+
+        buf: list[dict] = []
+        for obj in self._iter_objects():
+            if len(set(obj["pngs"]) & set(obj["cams"])) < 2:
+                continue
+            buf.append(obj)
+            if len(buf) < self.shuffle_buffer:
+                continue
+            yield emit(buf.pop(int(self.rng.integers(len(buf)))))
+        # non-looping epoch end: drain whatever is left in the buffer
+        while buf:
+            yield emit(buf.pop(int(self.rng.integers(len(buf)))))
+
+    def batches(self, batch_size: int) -> Iterator[dict]:
+        it = self.samples()
+        while True:
+            samples = [next(it) for _ in range(batch_size)]
             yield {
                 k: np.stack([s[k] for s in samples]).astype(np.float32)
                 for k in samples[0]

@@ -92,10 +92,24 @@ def main(argv=None):
         {k: stage.params[k] for k in ("encoder", "clip")}, frozen_sh
     )
 
-    ds = ObjaverseViewsDataset(
-        args.data_root, total_views=args.total_views,
-        image_size=stage.config.image_size,
+    import glob
+    import os
+
+    tars = (
+        sorted(glob.glob(os.path.join(args.data_root, "*.tar")))
+        if os.path.isdir(args.data_root)
+        else sorted(glob.glob(args.data_root))
     )
+    if tars and all(t.endswith(".tar") for t in tars):
+        # webdataset-style tar shards (the reference's training ingestion)
+        from one2345_tpu.training.data import ObjaverseTarShards
+
+        ds = ObjaverseTarShards(tars, image_size=stage.config.image_size)
+    else:
+        ds = ObjaverseViewsDataset(
+            args.data_root, total_views=args.total_views,
+            image_size=stage.config.image_size,
+        )
     batches = Prefetcher(ds.batches(args.batch_size))
     logger = MetricsLogger(args.exp_dir)
 
