@@ -70,20 +70,33 @@ def _device_watchdog(timeout_s: float = 240.0, retries: int = 3,
     return False
 
 
+def _fail_line(msg: str):
+    print(
+        json.dumps(
+            {
+                "metric": "secs_image_to_mesh",
+                "value": -1,
+                "unit": "s",
+                "vs_baseline": 0,
+                "detail": {"error": msg},
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     if not _device_watchdog():
-        print(
-            json.dumps(
-                {
-                    "metric": "secs_image_to_mesh",
-                    "value": -1,
-                    "unit": "s",
-                    "vs_baseline": 0,
-                    "detail": {"error": "device init timed out (TPU tunnel down)"},
-                }
-            )
-        )
+        _fail_line("device init timed out (TPU tunnel down)")
         return
+    try:
+        _run_bench()
+    except Exception as e:  # noqa: BLE001 — the driver needs ONE JSON line
+        # (e.g. the tunnel died mid-run); never exit without emitting it
+        _fail_line(f"{type(e).__name__}: {e}"[:300])
+
+
+def _run_bench():
 
     from one2345_tpu.core.compile_cache import enable as enable_cache
 
