@@ -196,6 +196,11 @@ class UNetModel(nn.Module):
     transformer_depth: int = 1
     context_dim: int = 768
     dtype: Any = jnp.bfloat16
+    # gradient rematerialization of every res/attention block — the TPU
+    # equivalent of the reference's per-block grad checkpointing
+    # (attention.py BasicTransformerBlock + openaimodel checkpoint());
+    # trades FLOPs for activation memory when finetuning at 256^2.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, timesteps, context):
@@ -207,6 +212,8 @@ class UNetModel(nn.Module):
         """
         dt = self.dtype
         mc = self.model_channels
+        ResB = nn.remat(ResBlock) if self.remat else ResBlock
+        SpT = nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
 
         t_emb = timestep_embedding(timesteps, mc)
         emb = nn.Dense(mc * 4, dtype=dt, name="time_embed_0")(t_emb.astype(dt))
@@ -221,9 +228,9 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             ch = mc * mult
             for i in range(self.num_res_blocks):
-                h = ResBlock(ch, dt, name=f"in_{level}_{i}_res")(h, emb)
+                h = ResB(ch, dt, name=f"in_{level}_{i}_res")(h, emb)
                 if ds in self.attention_resolutions:
-                    h = SpatialTransformer(
+                    h = SpT(
                         self.num_heads, self.transformer_depth, dt,
                         name=f"in_{level}_{i}_attn",
                     )(h, context)
@@ -234,19 +241,19 @@ class UNetModel(nn.Module):
                 ds *= 2
         # ---- middle
         ch = mc * self.channel_mult[-1]
-        h = ResBlock(ch, dt, name="mid_res1")(h, emb)
-        h = SpatialTransformer(
+        h = ResB(ch, dt, name="mid_res1")(h, emb)
+        h = SpT(
             self.num_heads, self.transformer_depth, dt, name="mid_attn"
         )(h, context)
-        h = ResBlock(ch, dt, name="mid_res2")(h, emb)
+        h = ResB(ch, dt, name="mid_res2")(h, emb)
         # ---- decoder
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             ch = mc * mult
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(ch, dt, name=f"out_{level}_{i}_res")(h, emb)
+                h = ResB(ch, dt, name=f"out_{level}_{i}_res")(h, emb)
                 if ds in self.attention_resolutions:
-                    h = SpatialTransformer(
+                    h = SpT(
                         self.num_heads, self.transformer_depth, dt,
                         name=f"out_{level}_{i}_attn",
                     )(h, context)

@@ -66,9 +66,14 @@ def make_optimizer(base_lr: float = 1e-4, warmup_steps: int = 100):
 
 
 class Zero123Trainer:
-    def __init__(self, stage, ema_decay: float = 0.9999, base_lr: float = 1e-4):
-        """:param stage: diffusion.zero123.Zero123Stage (modules + params)"""
+    def __init__(self, stage, ema_decay: float = 0.9999, base_lr: float = 1e-4,
+                 remat: bool = True):
+        """:param stage: diffusion.zero123.Zero123Stage (modules + params)
+        :param remat: rematerialize UNet blocks in the backward pass
+            (identical gradients, ~half the activation memory — needed for
+            the 860M-param UNet at 256^2 on per-chip HBM)"""
         self.stage = stage
+        self.unet_train = stage.unet.clone(remat=True) if remat else stage.unet
         self.sched = jax.tree_util.tree_map(jnp.asarray, training_schedule(
             stage.config.timesteps, stage.config.linear_start, stage.config.linear_end
         ))
@@ -128,7 +133,7 @@ class Zero123Trainer:
         z_noisy = sqrt_ac * z + sqrt_1m * noise
 
         unet_in = jnp.concatenate([z_noisy, concat], axis=-1)
-        eps = st.unet.apply(trainable["unet"], unet_in, t, ctx)
+        eps = self.unet_train.apply(trainable["unet"], unet_in, t, ctx)
         loss = jnp.mean((eps - noise) ** 2)
         return loss
 

@@ -28,6 +28,39 @@ def test_zero123_train_step():
     assert 0.5 < float(loss) < 2.0
 
 
+def test_remat_gradients_match():
+    """nn.remat'd UNet blocks produce the same loss/grads as the plain
+    module (memory-only transform; openaimodel checkpoint() parity)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_diffusion import tiny_config
+    from one2345_tpu.diffusion.zero123 import Zero123Stage
+    from one2345_tpu.training.zero123_trainer import Zero123Trainer
+
+    stage = Zero123Stage(tiny_config(), seed=0)
+    frozen = {k: stage.params[k] for k in ("encoder", "clip")}
+    batch = {
+        "image_target": jnp.full((2, 32, 32, 3), 0.1),
+        "image_cond": jnp.full((2, 32, 32, 3), -0.2),
+        "T": jnp.ones((2, 1, 4)) * 0.3,
+    }
+    key = jax.random.key(5)
+    outs = []
+    for remat in (False, True):
+        tr = Zero123Trainer(stage, remat=remat)
+        trainable = {"unet": stage.params["unet"],
+                     "cc_projection": stage.params["cc_projection"]}
+        loss, grads = jax.value_and_grad(tr.loss_fn)(trainable, frozen, batch, key)
+        outs.append((float(loss), grads))
+    assert np.isclose(outs[0][0], outs[1][0], rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves(outs[0][1])
+    flat1 = jax.tree_util.tree_leaves(outs[1][1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_multichip_dryrun():
     import jax
 
