@@ -21,6 +21,10 @@ def build_parser():
     p.add_argument("--n_rays", type=int, default=512)
     p.add_argument("--ckpt_every", type=int, default=5000)  # conf save_freq
     p.add_argument("--log_every", type=int, default=100)  # conf report_freq
+    p.add_argument("--val_every", type=int, default=0,
+                   help="render a full-image validation panel + PSNR every "
+                        "N steps (conf val_freq / GenericTrainer val_step; "
+                        "0 = off)")
     p.add_argument("--exp_dir", type=str, default="exp/recon_train")
     p.add_argument("--init_params", type=str, default=None)
     p.add_argument("--resume", action="store_true", help="resume from latest step dir")
@@ -75,10 +79,33 @@ def main(argv=None):
     logger = MetricsLogger(args.exp_dir)
     key = jax.random.key(start_step)
     t0 = time.time()
+    validator = None
     for step_idx in range(start_step, args.max_steps):
         batch = next(batches)
         key, k = jax.random.split(key)
         state, metrics = trainer.train_step(state, batch, k)
+        if args.val_every and step_idx > 0 and step_idx % args.val_every == 0:
+            # val_step parity: full-image render of scene 0's query view,
+            # panel + PSNR (GenericTrainer.val_step, trainer_generic:359)
+            import os
+
+            from PIL import Image as PILImage
+
+            from one2345_tpu.recon.validation import Validator
+
+            stage.params = trainer.stage_variables(state)
+            if validator is None:
+                validator = Validator(stage)
+            sc = ds.load_scene(0)
+            res = validator.render_view(sc["images"][1:], sc["cameras"])
+            val_psnr = Validator.psnr(res["color"], sc["images"][0])
+            panel = Validator.panel(res, sc["images"][0])
+            os.makedirs(f"{args.exp_dir}/val", exist_ok=True)
+            PILImage.fromarray((np.clip(panel, 0, 1) * 255).astype(np.uint8)).save(
+                f"{args.exp_dir}/val/step_{step_idx:06d}.png"
+            )
+            logger.log(step_idx, val_psnr=float(val_psnr))
+            print(f"val step {step_idx}: psnr={val_psnr:.2f}", flush=True)
         if step_idx % args.log_every == 0:
             m = {k2: float(v) for k2, v in metrics.items()}
             m["steps_per_sec"] = args.log_every / max(time.time() - t0, 1e-9)
