@@ -61,15 +61,19 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     l = jnp.zeros((BT, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc, m, l))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0, :] = (m + jnp.log(l))[:, 0]
+    # lse is laid out [BH, Tp, 1]: a trailing singleton lane dim keeps the
+    # block shape (block_q, 1) legal under the TPU (8, 128)-tiling rule
+    # (last dim == array dim); a flat [BH, Tp] output with (1, block_q)
+    # blocks fails Pallas lowering on real TPUs.
+    lse_ref[0] = m + jnp.log(l)
 
 
 def _flash_bwd_dq_kernel(q_ref, do_ref, lse_ref, dsum_ref, k_ref, v_ref,
                          dq_ref, *, scale: float, block_kv: int):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]  # [BT, 1]
-    dsum = dsum_ref[0][:, None]
+    lse = lse_ref[0]  # [BT, 1]
+    dsum = dsum_ref[0]  # [BT, 1]
     S = k_ref.shape[1]
     BT, D = q.shape
 
@@ -103,8 +107,8 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
         dk, dv = carry
         qb = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         dob = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        dsum = dsum_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]  # [BQ, 1]
+        dsum = dsum_ref[0, pl.ds(i * block_q, block_q), :]  # [BQ, 1]
         s = jax.lax.dot_general(
             qb, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [BQ, BKV]
@@ -147,11 +151,11 @@ def _fwd_impl(qf, kf, vf, scale, block_q, block_kv):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Tp, Dp), qf.dtype),
-            jax.ShapeDtypeStruct((BH, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tp, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * Tp * Sp * Dp,
@@ -176,7 +180,9 @@ def _flash_folded_bwd(scale, block_q, block_kv, res, do):
     qf, kf, vf, o, lse = res
     BH, Tp, Dp = qf.shape
     Sp = kf.shape[1]
-    dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [BH, Tp]
+    dsum = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [BH, Tp, 1]
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, block_kv=block_kv),
@@ -184,8 +190,8 @@ def _flash_folded_bwd(scale, block_q, block_kv, res, do):
         in_specs=[
             pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -206,8 +212,8 @@ def _flash_folded_bwd(scale, block_q, block_kv, res, do):
             pl.BlockSpec((1, block_kv, Dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Tp, Dp), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Tp, Dp), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, 1), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, 1), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_kv, Dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
