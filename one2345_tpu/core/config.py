@@ -174,6 +174,10 @@ class ReconConfig(_ConfigBase):
     # mesh extraction
     mesh_resolution: int = 256
     mesh_threshold: float = 0.0
+    # fetch the field as a 2 MB packed-sign plane + sparse i8 values near
+    # the crossings instead of the full 16 MB int8 grid (the device->host
+    # tunnel of this environment runs ~20 MB/s, so payload is wall-clock)
+    sparse_field_fetch: bool = True
     dtype: str = "float32"
 
 

@@ -28,6 +28,25 @@ from one2345_tpu.geometry import cameras as cam
 from one2345_tpu.utils import image as img_utils
 
 
+def select_stage1b_plan(polar: float, n_devices: int):
+    """Second-ring stage-1 sampling plan (run.py:40-44 view-index logic).
+
+    Single chip (or any mesh the 4-view batch divides) samples just the
+    needed ring.  On an 8-device mesh the 4-view batch would be PADDED to 8
+    anyway (half the FLOPs wasted on duplicate rows) — so sample BOTH
+    elevation rings (views 4..11, same cost) and slice out the needed one;
+    the spare ring is free insurance for per-view retries.
+
+    :return: (indices_to_sample, slice_for_needed_ring, second_ring_ids)
+    """
+    second = [4, 5, 6, 7] if polar <= 75 else [8, 9, 10, 11]
+    if n_devices > 1 and 4 % n_devices != 0:
+        sample = list(range(4, 12))
+        off = 0 if polar <= 75 else 4
+        return sample, slice(off, off + 4), second
+    return second, slice(0, 4), second
+
+
 class UnsafeImageError(RuntimeError):
     """Raised when the safety checker flags the input image
     (the library-level equivalent of demo/app.py:376-386 returning the
@@ -293,16 +312,14 @@ class One2345Pipeline:
             polar = self.estimate_elevation(np.asarray(s2_v0[0]))
 
         # ---- stage 1b: the second elevation ring (run.py:40-44)
-        if polar <= 75:
-            sel = list(range(8))
-            second = [4, 5, 6, 7]
-        else:
-            sel = list(range(4)) + list(range(8, 12))
-            second = [8, 9, 10, 11]
+        sel = list(range(8)) if polar <= 75 else list(range(4)) + list(range(8, 12))
+        mesh = self.zero123.mesh
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        sample_idx, ring, _ = select_stage1b_plan(polar, n_dev)
         with timer.span("stage1"):
             s1_second = self.zero123.stage1(
-                input_256, jax.random.fold_in(k_s1, 1), indices=second
-            )
+                input_256, jax.random.fold_in(k_s1, 1), indices=sample_idx
+            )[ring]
             s1_second.block_until_ready()
         stage1_images = jnp.concatenate([s1_first, s1_second], axis=0)
 

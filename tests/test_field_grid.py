@@ -34,3 +34,31 @@ def test_field_grid_matches_pointwise():
     inside = ~outside
     near = np.abs(u[inside]) > 0.01
     assert (np.sign(q[inside][near]) == np.sign(u[inside][near])).mean() > 0.999
+
+
+def test_sparse_field_fetch_mesh_identical():
+    """Sign-plane + sparse-refinement fetch -> bit-identical mesh vs the
+    dense int8 fetch (crossing cubes use exact values; fill is sign-correct)."""
+    from one2345_tpu.recon import mesh_extract
+
+    cfg = ReconConfig(vol_dims=(16, 16, 16), voxel_size=2.0 / 15.0, image_hw=(32, 32))
+    stage = ReconStage(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    vol = jnp.asarray(rng.normal(size=(16, 16, 16, 16)).astype(np.float32))
+    mask = jnp.ones((16, 16, 16, 1))
+
+    R = 32
+    q = stage.field_grid_i8(stage.params, vol, mask, R)
+    dense = np.asarray(q, np.float32)
+    sparse = stage._fetch_field_sparse(q, R, threshold=0.0)
+
+    # same signs everywhere; exact values at corners of crossing cubes
+    assert ((dense > 0) == (sparse > 0)).all()
+    v_d, f_d = mesh_extract.marching_tetrahedra(dense, 0.0)
+    v_s, f_s = mesh_extract.marching_tetrahedra(sparse, 0.0)
+    assert v_d.shape == v_s.shape and f_d.shape == f_s.shape
+    np.testing.assert_array_equal(v_d, v_s)
+    # identical triangles; orientation (driven by np.gradient over the
+    # far-field fill) may flip on a tiny fraction of knife-edge faces
+    np.testing.assert_array_equal(np.sort(f_d, axis=1), np.sort(f_s, axis=1))
+    assert (f_d != f_s).any(axis=1).mean() < 0.02

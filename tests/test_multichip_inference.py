@@ -46,3 +46,25 @@ def test_sharded_sampler_pads_uneven_batches():
     stage_sh = Zero123Stage(cfg, params=stage.params, mesh=mesh)
     out = np.asarray(stage_sh.stage1(img, jax.random.key(1), indices=idx, steps=2))
     assert out.shape == ref.shape  # pad rows removed
+
+
+def test_select_stage1b_plan():
+    """On an 8-chip mesh the 4-view second ring pads to 8 anyway — the plan
+    samples BOTH rings (views 4..11) for the same cost and slices the
+    needed one; small/single meshes sample only the needed ring."""
+    from one2345_tpu.pipeline.runner import select_stage1b_plan
+
+    # single chip / even-dividing meshes: just the needed ring
+    for n in (1, 2, 4):
+        sample, ring, second = select_stage1b_plan(30.0, n)
+        assert sample == [4, 5, 6, 7] and sample[ring] == second
+        sample, ring, second = select_stage1b_plan(80.0, n)
+        assert sample == [8, 9, 10, 11] and sample[ring] == second
+
+    # 8-chip mesh: both rings in one batch, slice low or high
+    sample, ring, second = select_stage1b_plan(30.0, 8)
+    assert sample == list(range(4, 12))
+    assert sample[ring] == [4, 5, 6, 7] == second
+    sample, ring, second = select_stage1b_plan(80.0, 8)
+    assert sample == list(range(4, 12))
+    assert sample[ring] == [8, 9, 10, 11] == second
