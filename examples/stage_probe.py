@@ -18,8 +18,20 @@ import time
 import numpy as np
 
 
+def sync(x):
+    """Force real device synchronization.  Under the axon plugin
+    `block_until_ready` returns early until the stream has been drained by
+    an actual D2H fetch (see CLAUDE.md) — a 1-element slice fetch is a
+    dependency-complete sync that costs ~1 ms of transfer."""
+    import numpy as _np
+
+    flat = x.reshape(-1) if hasattr(x, "reshape") else x
+    _np.asarray(flat[:1])
+    return x
+
+
 def span(fn, repeats: int):
-    fn()  # warm-up / compile
+    fn()  # warm-up / compile (fn must end with a real fetch / sync)
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -64,7 +76,7 @@ def main(argv=None):
     def run_s1():
         nonlocal s1
         s1 = pipe.zero123.stage1(img, k1, indices=[0, 1, 2, 3])
-        s1.block_until_ready()
+        sync(s1)
 
     emit("stage1_ring4", *span(run_s1, args.repeats), views=4)
 
@@ -74,7 +86,7 @@ def main(argv=None):
     def run_s2v0():
         nonlocal s2v0
         s2v0 = pipe.zero123.stage2(s1[:1], k2, steps=cfg.diffusion.ddim_steps_stage2)
-        s2v0.block_until_ready()
+        sync(s2v0)
 
     emit("stage2_view0", *span(run_s2v0, args.repeats), views=4)
 
@@ -89,7 +101,7 @@ def main(argv=None):
 
     def run_s2():
         out = pipe.zero123.stage2(s1_8[1:], k3, steps=cfg.diffusion.ddim_steps_stage2)
-        out.block_until_ready()
+        sync(out)
 
     emit("stage2_rest", *span(run_s2, args.repeats), views=28)
 

@@ -153,43 +153,60 @@ class ElevationEstimator:
         )
         self.image_size = image_size
 
-    def match_views(self, images: np.ndarray, masks: np.ndarray | None = None):
+    @functools.partial(jax.jit, static_argnums=0)
+    def _match_views_jit(self, params, images, masks):
+        """Device-resident matching: grayscale + 480^2 resize + 6-pair LoFTR
+        + foreground filtering all in one program.  The pipeline hands the
+        stage-2 views over as device arrays, so only the fixed-K keypoint
+        slates (~0.1 MB) ever cross the ~20 MB/s device<->host tunnel —
+        the previous host path moved ~14 MB (view fetch + 12 gray uploads).
+
+        :param masks: [4, H, W] float/bool foreground (precomputed; the
+            alpha>245 fallback is applied by the caller)
+        """
+        H, W = images.shape[1:3]
+        # cv2.COLOR_RGB2GRAY weights (get_feature_matching grayscale)
+        wvec = jnp.asarray([0.299, 0.587, 0.114], images.dtype)
+        gray = jnp.tensordot(images, wvec, axes=[[-1], [0]])  # [4, H, W]
+        gray480 = jax.image.resize(gray, (4, 480, 480), method="linear")
+
+        i0 = jnp.asarray([i for i, _ in PAIRS])
+        i1 = jnp.asarray([j for _, j in PAIRS])
+        res = self.matcher.match_pairs(
+            params, jnp.take(gray480, i0, axis=0), jnp.take(gray480, i1, axis=0)
+        )
+        scale = jnp.asarray([W / 480.0, H / 480.0], jnp.float32)
+        k0s = res.kpts0 * scale[None, None]
+        k1s = res.kpts1 * scale[None, None]
+
+        def fg_at(mask, kpts):  # row-gather lookup of the fg mask at kpts
+            xi = jnp.clip(kpts.astype(jnp.int32), 0, jnp.asarray([W - 1, H - 1]))
+            lin = xi[:, 1] * W + xi[:, 0]
+            return jnp.take(mask.reshape(-1) > 0, lin, axis=0)
+
+        keep = jax.vmap(fg_at)(jnp.take(masks, i0, axis=0), k0s) & jax.vmap(
+            fg_at
+        )(jnp.take(masks, i1, axis=0), k1s)
+        valid = res.valid & keep
+        return k0s, k1s, res.conf * valid, valid
+
+    def match_views(self, images, masks=None):
         """6 pairwise matchings at 480x480 grayscale, rescaled to the
-        original frame + foreground filtering (get_feature_matching)."""
-        import cv2
+        original frame + foreground filtering (get_feature_matching).
 
-        n = images.shape[0]
-        assert n == 4
-        gray, fg = [], []
-        for i in range(n):
-            img = images[i]
-            g = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2GRAY)
-            orig_h, orig_w = g.shape
-            gray.append(cv2.resize(g, (480, 480)).astype(np.float32) / 255.0)
-            if masks is not None:
-                fg.append(masks[i] > 0)
-            else:
-                fg.append(~np.all(img > 245.0 / 255.0, axis=-1))
-        scale = np.array([orig_w / 480.0, orig_h / 480.0], np.float32)
-
-        # all 6 pairs matched in one device program
-        imgs0 = jnp.asarray(np.stack([gray[i] for i, _ in PAIRS]))
-        imgs1 = jnp.asarray(np.stack([gray[j] for _, j in PAIRS]))
-        res = self.matcher.match_pairs(self.matcher.params, imgs0, imgs1)
-        k0s = np.asarray(res.kpts0) * scale[None, None]
-        k1s = np.asarray(res.kpts1) * scale[None, None]
-        confs = np.asarray(res.conf)
-        valids = np.asarray(res.valid)
-
-        packed = []
-        for p, (i, j) in enumerate(PAIRS):
-            k0, k1, conf, valid = k0s[p], k1s[p], confs[p], valids[p]
-            xi0 = np.clip(k0.astype(int), 0, self.image_size - 1)
-            xi1 = np.clip(k1.astype(int), 0, self.image_size - 1)
-            keep = fg[i][xi0[:, 1], xi0[:, 0]] & fg[j][xi1[:, 1], xi1[:, 0]]
-            valid = valid & keep
-            packed.append((k0, k1, conf * valid, valid))
-        return packed
+        Accepts numpy or device arrays; all preprocessing runs on device."""
+        assert images.shape[0] == 4
+        imgs = jnp.asarray(images, jnp.float32)
+        if masks is None:
+            fg = ~jnp.all(imgs > 245.0 / 255.0, axis=-1)
+        else:
+            fg = jnp.asarray(masks) > 0
+        k0s, k1s, confs, valids = jax.device_get(
+            self._match_views_jit(self.matcher.params, imgs, fg)
+        )
+        return [
+            (k0s[p], k1s[p], confs[p], valids[p]) for p in range(len(PAIRS))
+        ]
 
     def save_match_visualizations(
         self, images: np.ndarray, out_dir: str,

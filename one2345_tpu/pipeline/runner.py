@@ -309,7 +309,9 @@ class One2345Pipeline:
             s2_v0.block_until_ready()
 
         with timer.span("elevation"):
-            polar = self.estimate_elevation(np.asarray(s2_v0[0]))
+            # device array handed over directly — the estimator's
+            # grayscale/resize/matching all run on device (no 3 MB fetch)
+            polar = self.estimate_elevation(s2_v0[0])
 
         # ---- stage 1b: the second elevation ring (run.py:40-44)
         sel = list(range(8)) if polar <= 75 else list(range(4)) + list(range(8, 12))
@@ -363,9 +365,9 @@ class One2345Pipeline:
             timings=timer.report(),
         )
 
-    def estimate_elevation(self, nearby_views: np.ndarray) -> float:
-        """[4, 256, 256, 3] -> polar angle deg; falls back to 90
-        (run.py:32-36 try/except)."""
+    def estimate_elevation(self, nearby_views) -> float:
+        """[4, 256, 256, 3] (numpy or device array) -> polar angle deg;
+        falls back to 90 (run.py:32-36 try/except)."""
         try:
             est = self.elevation_estimator.estimate(nearby_views)
         except Exception:
