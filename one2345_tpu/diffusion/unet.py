@@ -95,9 +95,18 @@ class Attention(nn.Module):
         q = q.reshape(B, T, self.heads, self.dim_head)
         k = k.reshape(B, S, self.heads, self.dim_head)
         v = v.reshape(B, S, self.heads, self.dim_head)
-        from one2345_tpu.ops.flash_attention import attention as fused_attention
+        if S == 1:
+            # Zero123 cross-attention context is ONE token (the cc-projected
+            # CLIP+pose embedding, ddpm.py:747-752): softmax over a single
+            # key is identically 1, so the output equals the broadcast V
+            # projection — exact, and the query path dead-codes away.  XLA
+            # also hoists the (timestep-invariant) K/V work out of the DDIM
+            # scan, removing cross-attention from the hot loop entirely.
+            o = jnp.broadcast_to(v, (B, T, self.heads, self.dim_head))
+        else:
+            from one2345_tpu.ops.flash_attention import attention as fused_attention
 
-        o = fused_attention(q, k, v)
+            o = fused_attention(q, k, v)
         o = o.reshape(B, T, inner)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
 
