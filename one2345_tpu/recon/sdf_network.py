@@ -136,6 +136,12 @@ class SdfVolumeNetwork(nn.Module):
     num_sdf_layers: int = 4
     multires: int = 6
     dtype: Any = jnp.float32
+    # the SDF MLP stays f32 even when the conv feature path (compress +
+    # cost-volume U-Net) runs bf16: its output's zero crossing IS the
+    # surface, and the softplus/weight-norm chain loses visible precision
+    # in half floats, while the conv path feeds a learned latent where
+    # bf16 noise is far below the feature variance
+    mlp_dtype: Any = jnp.float32
 
     def setup(self):
         from one2345_tpu.recon.costreg import CostRegNet
@@ -147,7 +153,7 @@ class SdfVolumeNetwork(nn.Module):
             n_layers=self.num_sdf_layers,
             multires=self.multires,
             d_latent=self.regnet_d_out,
-            dtype=self.dtype,
+            dtype=self.mlp_dtype,
             name="sdf_layer",
         )
 
@@ -213,11 +219,15 @@ class SdfVolumeNetwork(nn.Module):
             px = (gx + 1.0) * 0.5 * (fW - 1)
             py = (gy + 1.0) * 0.5 * (fH - 1)
             f = bilinear_sample(feat, px, py, padding="zeros")  # [N, C]
+            # accumulate in f32 even when the feature path runs bf16: the
+            # variance below is E[x^2] - E[x]^2, which cancels
+            # catastrophically in half-precision sums over 32 views
+            f = f.astype(jnp.float32)
             return (s + f, ss + f * f, cnt + mask.astype(jnp.float32)), None
 
         init = (
-            jnp.zeros((pts_flat.shape[0], C), feats.dtype),
-            jnp.zeros((pts_flat.shape[0], C), feats.dtype),
+            jnp.zeros((pts_flat.shape[0], C), jnp.float32),
+            jnp.zeros((pts_flat.shape[0], C), jnp.float32),
             jnp.zeros((pts_flat.shape[0],), jnp.float32),
         )
         (vol_sum, vol_sq, counts), _ = jax.lax.scan(view_step, init, (feats, projs))
@@ -227,7 +237,7 @@ class SdfVolumeNetwork(nn.Module):
             # children inherit the pruned parents' occupancy (lod1 path)
             up = jnp.repeat(jnp.repeat(jnp.repeat(pre_mask, 2, 0), 2, 1), 2, 2)
             valid = valid & (up.reshape(-1) > 0)
-        inv = (1.0 / (counts + 1e-5))[:, None].astype(feats.dtype)
+        inv = (1.0 / (counts + 1e-5))[:, None]
         mean = vol_sum * inv
         var = vol_sq * inv - mean * mean
         cost = jnp.concatenate([var, mean], axis=-1)  # [N, 2C]

@@ -19,6 +19,9 @@ def build_parser():
     p.add_argument("--max_steps", type=int, default=200_000)
     p.add_argument("--learning_rate", type=float, default=2e-4)
     p.add_argument("--n_rays", type=int, default=512)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
+                   help="conv-path compute dtype; training defaults to f32 "
+                        "(reference numerics) while inference defaults bf16")
     p.add_argument("--ckpt_every", type=int, default=5000)  # conf save_freq
     p.add_argument("--log_every", type=int, default=100)  # conf report_freq
     p.add_argument("--val_every", type=int, default=0,
@@ -51,7 +54,7 @@ def main(argv=None):
     n_dev = len(jax.devices())
 
     cfg = ReconConfig(learning_rate=args.learning_rate, end_iter=args.max_steps,
-                      n_rays=args.n_rays)
+                      n_rays=args.n_rays, dtype=args.dtype)
     params = checkpoint.restore(args.init_params) if args.init_params else None
     stage = ReconStage(cfg, params)
     trainer = ReconTrainer(stage, cfg)

@@ -100,3 +100,50 @@ def test_rendering_network_blend():
     # fully-masked rays are invalid
     _, valid0 = apply(vars_, geo, rgb, rd, jnp.zeros((V, Nr, Ns)))
     assert not np.asarray(valid0).any()
+
+
+def test_sdf_volume_mixed_precision_fidelity():
+    """bf16 feature path (compress + costreg) with the f32 SDF MLP tracks
+    the all-f32 stage: same params, near-identical sdf field.  Guards the
+    production ReconConfig(dtype='bfloat16') setting."""
+    from one2345_tpu.recon.sdf_network import SdfVolumeNetwork
+
+    kw = dict(vol_dims=(16, 16, 16), voxel_size=2.0 / 15.0, d_compress=8,
+              regnet_d_out=8, hidden_dim=32)
+    net32 = SdfVolumeNetwork(dtype=jnp.float32, **kw)
+    net16 = SdfVolumeNetwork(dtype=jnp.bfloat16, **kw)
+
+    rng = np.random.default_rng(0)
+    V, H, W = 3, 32, 32
+    feats = jnp.asarray(rng.normal(size=(V, H, W, 56)).astype(np.float32))
+    # cameras looking at the volume center from ~2 units out
+    projs = []
+    for i in range(V):
+        K = np.array([[20.0, 0, W / 2, 0], [0, 20.0, H / 2, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]])
+        w2c = np.eye(4)
+        w2c[2, 3] = 2.5 + 0.1 * i
+        projs.append(K @ w2c)
+    projs = jnp.asarray(np.stack(projs).astype(np.float32))
+
+    vars_ = jax.jit(net32.init, static_argnums=3)(jax.random.key(0), feats, projs, (H, W))
+    pts = jnp.asarray(rng.uniform(-0.8, 0.8, size=(128, 3)).astype(np.float32))
+
+    def field(net):
+        out = jax.jit(
+            lambda v, f, p: net.apply(v, f, p, (H, W), method=SdfVolumeNetwork.build_volume)
+        )(vars_, feats, projs)
+        sdf, _ = jax.jit(lambda v, q, vol: net.apply(v, q, vol, method=SdfVolumeNetwork.sdf))(
+            vars_, pts, out["volume"].astype(jnp.float32)
+        )
+        return np.asarray(out["volume"], np.float32), np.asarray(sdf[:, 0])
+
+    vol32, sdf32 = field(net32)
+    vol16, sdf16 = field(net16)
+    # latent volume: bf16 noise well below the feature scale
+    scale = np.abs(vol32).mean() + 1e-6
+    assert np.abs(vol32 - vol16).mean() / scale < 0.05
+    # sdf evaluated by the (always f32) MLP on the two volumes stays close
+    # relative to its dynamic range
+    rng_sdf = sdf32.max() - sdf32.min() + 1e-6
+    assert np.abs(sdf32 - sdf16).max() / rng_sdf < 0.05
