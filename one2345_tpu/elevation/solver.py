@@ -140,6 +140,22 @@ def _sweep(elevs, K_mat, packed, n_pairs):
     return jax.vmap(lambda e: elevation_error(e, K_mat, match_pack))(elevs)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _sweep_two_stage(K_mat, packed, n_pairs):
+    """Coarse 10-degree sweep over [30,150) + fine 1-degree sweep around
+    its argmin (get_elev_est:172-193) fused into ONE device program —
+    both grids are static shapes, so the coarse->fine handoff needs no
+    host round-trip and only the final scalar is fetched."""
+    match_pack = {
+        PAIRS[i]: tuple(x[i] for x in packed) for i in range(n_pairs)
+    }
+    err_fn = jax.vmap(lambda e: elevation_error(e, K_mat, match_pack))
+    coarse = jnp.arange(30.0, 150.0, 10.0)
+    e1 = coarse[jnp.argmin(err_fn(coarse))]
+    fine = e1 - 10.0 + jnp.arange(0.0, 20.0, 1.0)
+    return fine[jnp.argmin(err_fn(fine))]
+
+
 class ElevationEstimator:
     """4 nearby views -> elevation in degrees (elev_est_api semantics)."""
 
@@ -226,19 +242,18 @@ class ElevationEstimator:
 
     def estimate(self, images: np.ndarray, masks: np.ndarray | None = None):
         """:param images: [4, H, W, 3] float [0,1] (nearby views of view 0)
-        :return: elevation in degrees, or None when no pair matched."""
-        packed = self.match_views(images, masks)
-        if any(p[3].sum() == 0 for p in packed):
+        :return: elevation in degrees, or None when no pair matched.
+
+        The match slates stay on device and feed the fused coarse+fine
+        sweep directly; only the 6 per-pair validity counts and the final
+        elevation scalar cross the (slow) device<->host link."""
+        imgs = jnp.asarray(images, jnp.float32)
+        if masks is None:
+            fg = ~jnp.all(imgs > 245.0 / 255.0, axis=-1)
+        else:
+            fg = jnp.asarray(masks) > 0
+        arrs = self._match_views_jit(self.matcher.params, imgs, fg)
+        n_valid = np.asarray(jnp.sum(arrs[3], axis=1))  # [6] tiny fetch
+        if (n_valid == 0).any():
             return None
-        arrs = tuple(
-            jnp.asarray(np.stack([p[c] for p in packed])) for c in range(4)
-        )
-        K_mat = jnp.asarray(self.K)
-
-        coarse = jnp.arange(30.0, 150.0, 10.0)
-        errs = np.asarray(_sweep(coarse, K_mat, arrs, len(PAIRS)))
-        e1 = float(coarse[int(np.argmin(errs))])
-
-        fine = jnp.arange(e1 - 10.0, e1 + 10.0, 1.0)
-        errs2 = np.asarray(_sweep(fine, K_mat, arrs, len(PAIRS)))
-        return float(fine[int(np.argmin(errs2))])
+        return float(_sweep_two_stage(jnp.asarray(self.K), arrs, len(PAIRS)))

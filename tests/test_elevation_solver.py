@@ -63,3 +63,19 @@ def test_fine_sweep_with_noise():
     errs = np.asarray(_sweep(fine, K, packed, len(PAIRS)))
     best = float(fine[int(np.argmin(errs))])
     assert abs(best - gt) <= 2.0, (best, errs.round(2).tolist())
+
+
+def test_fused_two_stage_sweep_matches_host_path():
+    from one2345_tpu.elevation.solver import _sweep_two_stage
+
+    K = jnp.asarray(np.array([[280.0, 0, 128], [0, 280.0, 128], [0, 0, 1]], np.float32))
+    for gt, noise in [(50.0, 0.0), (73.0, 0.3), (120.0, 0.0)]:
+        packed = _synthetic_matches(gt, np.asarray(K), noise=noise, seed=3)
+        # host two-call reference
+        coarse = jnp.arange(30.0, 150.0, 10.0)
+        e1 = float(coarse[int(np.argmin(np.asarray(_sweep(coarse, K, packed, len(PAIRS)))))])
+        fine = jnp.arange(e1 - 10.0, e1 + 10.0, 1.0)
+        ref = float(fine[int(np.argmin(np.asarray(_sweep(fine, K, packed, len(PAIRS)))))])
+        fused = float(_sweep_two_stage(K, packed, len(PAIRS)))
+        assert fused == ref, (gt, fused, ref)
+        assert abs(fused - gt) <= 2.0
