@@ -63,6 +63,20 @@ def load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.marching_tetrahedra_sparse_cpp.restype = ctypes.c_int
+    lib.marching_tetrahedra_sparse_cpp.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.free_mesh.argtypes = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32),
@@ -71,9 +85,13 @@ def load() -> ctypes.CDLL | None:
     return _lib
 
 
-def marching_tetrahedra_native(field, threshold: float = 0.0):
+def marching_tetrahedra_native(field, threshold: float = 0.0, active_cubes=None):
     """C++ marching tetrahedra; returns (verts [N,3], faces [M,3]) or None
-    when the native library is unavailable."""
+    when the native library is unavailable.
+
+    :param active_cubes: optional int64 [K] linear ids over the
+        (X-1, Y-1, Z-1) cube lattice (C order) — only these cubes are
+        visited (the sparse field fetch already knows the crossing set)."""
     import numpy as np
 
     lib = load()
@@ -85,11 +103,21 @@ def marching_tetrahedra_native(field, threshold: float = 0.0):
     pf = ctypes.POINTER(ctypes.c_int32)()
     nv = ctypes.c_int64()
     nf = ctypes.c_int64()
-    rc = lib.marching_tetrahedra_cpp(
-        f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        X, Y, Z, ctypes.c_float(threshold),
-        ctypes.byref(pv), ctypes.byref(pf), ctypes.byref(nv), ctypes.byref(nf),
-    )
+    if active_cubes is not None:
+        cubes = np.ascontiguousarray(active_cubes, dtype=np.int64)
+        rc = lib.marching_tetrahedra_sparse_cpp(
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            X, Y, Z, ctypes.c_float(threshold),
+            cubes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(cubes.size),
+            ctypes.byref(pv), ctypes.byref(pf), ctypes.byref(nv), ctypes.byref(nf),
+        )
+    else:
+        rc = lib.marching_tetrahedra_cpp(
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            X, Y, Z, ctypes.c_float(threshold),
+            ctypes.byref(pv), ctypes.byref(pf), ctypes.byref(nv), ctypes.byref(nf),
+        )
     if rc != 0:
         return None
     verts = np.ctypeslib.as_array(pv, shape=(nv.value, 3)).copy()

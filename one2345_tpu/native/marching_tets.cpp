@@ -68,11 +68,15 @@ inline int64_t vid(int x, int y, int z, int Y, int Z) {
 
 extern "C" {
 
-// Returns 0 on success. Caller frees via free_mesh.
-int marching_tetrahedra_cpp(const float* field, int X, int Y, int Z,
-                            float threshold, float** out_verts,
-                            int32_t** out_faces, int64_t* n_verts,
-                            int64_t* n_faces) {
+// Shared implementation: extract triangles from the given cube set.
+// `cubes`/`n_cubes` select cubes by linear id over the (X-1, Y-1, Z-1)
+// cube lattice in C order (matching np.flatnonzero of the active mask);
+// cubes == nullptr scans the full lattice.
+static int marching_tets_impl(const float* field, int X, int Y, int Z,
+                              float threshold, const int64_t* cubes,
+                              int64_t n_cubes, float** out_verts,
+                              int32_t** out_faces, int64_t* n_verts,
+                              int64_t* n_faces) {
     auto F = [&](int x, int y, int z) -> float {
         return field[(static_cast<int64_t>(x) * Y + y) * Z + z];
     };
@@ -111,48 +115,59 @@ int marching_tetrahedra_cpp(const float* field, int X, int Y, int Z,
         return idx;
     };
 
-    for (int x = 0; x < X - 1; ++x) {
-        for (int y = 0; y < Y - 1; ++y) {
-            for (int z = 0; z < Z - 1; ++z) {
-                float cv[8];
-                int64_t cid[8];
-                int inside = 0;
-                for (int c = 0; c < 8; ++c) {
-                    int cx = x + CORNERS[c][0];
-                    int cy = y + CORNERS[c][1];
-                    int cz = z + CORNERS[c][2];
-                    cv[c] = F(cx, cy, cz);
-                    cid[c] = vid(cx, cy, cz, Y, Z);
-                    if (cv[c] > threshold) ++inside;
+    auto process_cube = [&](int x, int y, int z) {
+        float cv[8];
+        int64_t cid[8];
+        int inside = 0;
+        for (int c = 0; c < 8; ++c) {
+            int cx = x + CORNERS[c][0];
+            int cy = y + CORNERS[c][1];
+            int cz = z + CORNERS[c][2];
+            cv[c] = F(cx, cy, cz);
+            cid[c] = vid(cx, cy, cz, Y, Z);
+            if (cv[c] > threshold) ++inside;
+        }
+        if (inside == 0 || inside == 8) return;
+        for (int t = 0; t < 6; ++t) {
+            const int* tv = TETS[t];
+            int code = 0;
+            for (int k = 0; k < 4; ++k)
+                if (cv[tv[k]] > threshold) code |= 1 << k;
+            const TetCase& tc = TET_TABLE[code];
+            for (int r = 0; r < tc.n_tris; ++r) {
+                int32_t tri[3];
+                bool degenerate = false;
+                for (int e = 0; e < 3; ++e) {
+                    int eid = tc.tris[r][e];
+                    int a = tv[EDGE_V[eid][0]];
+                    int b = tv[EDGE_V[eid][1]];
+                    tri[e] = edge_vertex(cid[a], cid[b], cv[a], cv[b]);
                 }
-                if (inside == 0 || inside == 8) continue;
-                for (int t = 0; t < 6; ++t) {
-                    const int* tv = TETS[t];
-                    int code = 0;
-                    for (int k = 0; k < 4; ++k)
-                        if (cv[tv[k]] > threshold) code |= 1 << k;
-                    const TetCase& tc = TET_TABLE[code];
-                    for (int r = 0; r < tc.n_tris; ++r) {
-                        int32_t tri[3];
-                        bool degenerate = false;
-                        for (int e = 0; e < 3; ++e) {
-                            int eid = tc.tris[r][e];
-                            int a = tv[EDGE_V[eid][0]];
-                            int b = tv[EDGE_V[eid][1]];
-                            tri[e] = edge_vertex(cid[a], cid[b], cv[a], cv[b]);
-                        }
-                        if (tri[0] == tri[1] || tri[1] == tri[2] ||
-                            tri[0] == tri[2])
-                            degenerate = true;
-                        if (!degenerate) {
-                            faces.push_back(tri[0]);
-                            faces.push_back(tri[1]);
-                            faces.push_back(tri[2]);
-                        }
-                    }
+                if (tri[0] == tri[1] || tri[1] == tri[2] ||
+                    tri[0] == tri[2])
+                    degenerate = true;
+                if (!degenerate) {
+                    faces.push_back(tri[0]);
+                    faces.push_back(tri[1]);
+                    faces.push_back(tri[2]);
                 }
             }
         }
+    };
+
+    if (cubes != nullptr) {
+        const int64_t CY = Y - 1, CZ = Z - 1;
+        for (int64_t i = 0; i < n_cubes; ++i) {
+            int64_t id = cubes[i];
+            int z = static_cast<int>(id % CZ);
+            int y = static_cast<int>((id / CZ) % CY);
+            int x = static_cast<int>(id / (CY * CZ));
+            process_cube(x, y, z);
+        }
+    } else {
+        for (int x = 0; x < X - 1; ++x)
+            for (int y = 0; y < Y - 1; ++y)
+                for (int z = 0; z < Z - 1; ++z) process_cube(x, y, z);
     }
 
     // orient triangles along the field gradient (outward for occupancy)
@@ -194,6 +209,28 @@ int marching_tetrahedra_cpp(const float* field, int X, int Y, int Z,
     std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
     std::memcpy(*out_faces, faces.data(), faces.size() * sizeof(int32_t));
     return 0;
+}
+
+// Returns 0 on success. Caller frees via free_mesh.
+int marching_tetrahedra_cpp(const float* field, int X, int Y, int Z,
+                            float threshold, float** out_verts,
+                            int32_t** out_faces, int64_t* n_verts,
+                            int64_t* n_faces) {
+    return marching_tets_impl(field, X, Y, Z, threshold, nullptr, 0,
+                              out_verts, out_faces, n_verts, n_faces);
+}
+
+// Sparse variant: only the listed cubes are visited (linear ids over the
+// (X-1)x(Y-1)x(Z-1) cube lattice, C order).  The sparse field fetch
+// already knows the sign-crossing cube set, so the full-lattice scan
+// (16.6M cubes at 256^3 vs ~100-200k active) is skipped entirely.
+int marching_tetrahedra_sparse_cpp(const float* field, int X, int Y, int Z,
+                                   float threshold, const int64_t* cubes,
+                                   int64_t n_cubes, float** out_verts,
+                                   int32_t** out_faces, int64_t* n_verts,
+                                   int64_t* n_faces) {
+    return marching_tets_impl(field, X, Y, Z, threshold, cubes, n_cubes,
+                              out_verts, out_faces, n_verts, n_faces);
 }
 
 void free_mesh(float* verts, int32_t* faces) {

@@ -78,20 +78,29 @@ _TET_TABLE: dict[int, list[tuple[str, str, str]]] = {
 
 
 def marching_tetrahedra(
-    field: np.ndarray, threshold: float = 0.0, use_native: bool = True
+    field: np.ndarray, threshold: float = 0.0, use_native: bool = True,
+    active_cubes: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Extract the isosurface — C++ native path when built, numpy fallback."""
+    """Extract the isosurface — C++ native path when built, numpy fallback.
+
+    :param active_cubes: optional int64 [K] linear ids over the
+        (X-1, Y-1, Z-1) cube lattice (C order) holding every sign-crossing
+        cube — lets callers that already know the crossing set (the sparse
+        field fetch) skip the full-lattice scan.  The output is identical
+        to the dense scan as long as the set covers all crossing cubes.
+    """
     if use_native:
         from one2345_tpu.native.build import marching_tetrahedra_native
 
-        out = marching_tetrahedra_native(field, threshold)
+        out = marching_tetrahedra_native(field, threshold, active_cubes)
         if out is not None:
             return out
-    return marching_tetrahedra_np(field, threshold)
+    return marching_tetrahedra_np(field, threshold, active_cubes)
 
 
 def marching_tetrahedra_np(
-    field: np.ndarray, threshold: float = 0.0
+    field: np.ndarray, threshold: float = 0.0,
+    active_cubes: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Extract the ``field == threshold`` isosurface.
 
@@ -104,15 +113,20 @@ def marching_tetrahedra_np(
     X, Y, Z = field.shape
     f = np.asarray(field, dtype=np.float32)
 
-    inside = f > threshold
-    # active cubes: corners disagree
-    agg = np.zeros((X - 1, Y - 1, Z - 1), dtype=np.uint8)
-    cnt = np.zeros_like(agg)
-    for dx, dy, dz in _CORNERS:
-        c = inside[dx : X - 1 + dx, dy : Y - 1 + dy, dz : Z - 1 + dz]
-        cnt = cnt + c.astype(np.uint8)
-    active = (cnt > 0) & (cnt < 8)
-    cx, cy, cz = np.nonzero(active)
+    if active_cubes is not None:
+        cube_idx = np.asarray(active_cubes, dtype=np.int64)
+        cx = cube_idx // ((Y - 1) * (Z - 1))
+        cy = (cube_idx // (Z - 1)) % (Y - 1)
+        cz = cube_idx % (Z - 1)
+    else:
+        inside = f > threshold
+        # active cubes: corners disagree
+        cnt = np.zeros((X - 1, Y - 1, Z - 1), dtype=np.uint8)
+        for dx, dy, dz in _CORNERS:
+            c = inside[dx : X - 1 + dx, dy : Y - 1 + dy, dz : Z - 1 + dz]
+            cnt = cnt + c.astype(np.uint8)
+        active = (cnt > 0) & (cnt < 8)
+        cx, cy, cz = np.nonzero(active)
     if cx.size == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
 

@@ -50,12 +50,12 @@ def test_sparse_field_fetch_mesh_identical():
     R = 32
     q = stage.field_grid_i8(stage.params, vol, mask, R)
     dense = np.asarray(q, np.float32)
-    sparse = stage._fetch_field_sparse(q, R, threshold=0.0)
+    sparse, active_cubes = stage._fetch_field_sparse(q, R, threshold=0.0)
 
     # same signs everywhere; exact values at corners of crossing cubes
     assert ((dense > 0) == (sparse > 0)).all()
     v_d, f_d = mesh_extract.marching_tetrahedra(dense, 0.0)
-    v_s, f_s = mesh_extract.marching_tetrahedra(sparse, 0.0)
+    v_s, f_s = mesh_extract.marching_tetrahedra(sparse, 0.0, active_cubes=active_cubes)
     assert v_d.shape == v_s.shape and f_d.shape == f_s.shape
     np.testing.assert_array_equal(v_d, v_s)
     # identical triangles; orientation (driven by np.gradient over the

@@ -49,3 +49,30 @@ def test_native_watertight():
     keys = edges[:, 0].astype(np.int64) * len(v) + edges[:, 1]
     _, counts = np.unique(keys, return_counts=True)
     assert (counts == 2).all()
+
+
+def test_sparse_cube_list_matches_dense_scan():
+    """Passing the crossing-cube set yields the identical mesh (same
+    vertex order and faces) in both the C++ and numpy paths."""
+    u = _sphere(29, 0.55)
+    X = u.shape[0]
+    inside = u > 0.0
+    cnt = np.zeros((X - 1,) * 3, np.uint8)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                cnt += inside[dx: X - 1 + dx, dy: X - 1 + dy, dz: X - 1 + dz]
+    cubes = np.flatnonzero((cnt > 0) & (cnt < 8))
+
+    vp, fp = marching_tetrahedra_np(u, 0.0)
+    vps, fps = marching_tetrahedra_np(u, 0.0, active_cubes=cubes)
+    np.testing.assert_array_equal(vp, vps)
+    np.testing.assert_array_equal(fp, fps)
+
+    out = marching_tetrahedra_native(u, 0.0)
+    if out is None:
+        pytest.skip("native library unavailable")
+    vn, fn = out
+    vns, fns = marching_tetrahedra_native(u, 0.0, active_cubes=cubes)
+    np.testing.assert_array_equal(vn, vns)
+    np.testing.assert_array_equal(fn, fns)
