@@ -50,7 +50,23 @@ def load() -> ctypes.CDLL | None:
     if so is None:
         _load_failed = True
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = _bind(ctypes.CDLL(so))
+    except (OSError, AttributeError):
+        # stale cached .so missing a newer symbol — rebuild once
+        so = build(force=True)
+        try:
+            lib = _bind(ctypes.CDLL(so)) if so else None
+        except (OSError, AttributeError):
+            lib = None
+        if lib is None:
+            _load_failed = True
+            return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.marching_tetrahedra_cpp.restype = ctypes.c_int
     lib.marching_tetrahedra_cpp.argtypes = [
         ctypes.POINTER(ctypes.c_float),
@@ -81,8 +97,7 @@ def load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32),
     ]
-    _lib = lib
-    return _lib
+    return lib
 
 
 def marching_tetrahedra_native(field, threshold: float = 0.0, active_cubes=None):
