@@ -44,3 +44,30 @@ def test_batched_pairs_match_single():
     np.testing.assert_allclose(
         np.asarray(batched.conf[0]), np.asarray(single0.conf), atol=1e-5
     )
+
+
+def test_row_reduced_topk_matches_dense_sort():
+    """The row-reduce + top-k selection equals the dense 13M-entry sort on
+    mutual-NN-structured score matrices (at most one valid entry per row)."""
+    rng = np.random.default_rng(7)
+    L, K = 90, 16
+    for trial in range(5):
+        conf = rng.uniform(size=(L, L)).astype(np.float32)
+        maxrow = conf == conf.max(axis=1, keepdims=True)
+        maxcol = conf == conf.max(axis=0, keepdims=True)
+        ok = (conf > 0.2) & maxrow & maxcol
+        scores = np.where(ok, conf, 0.0)
+
+        # dense reference (the pre-optimization form)
+        topv_d, topi_d = jax.lax.top_k(jnp.asarray(scores.reshape(-1)), K)
+        i_d, j_d = np.asarray(topi_d) // L, np.asarray(topi_d) % L
+
+        row_val = jnp.max(jnp.asarray(scores), axis=1)
+        row_arg = jnp.argmax(jnp.asarray(scores), axis=1)
+        topv_r, i_r = jax.lax.top_k(row_val, K)
+        j_r = np.asarray(row_arg)[np.asarray(i_r)]
+
+        valid = np.asarray(topv_d) > 0
+        np.testing.assert_allclose(np.asarray(topv_r), np.asarray(topv_d), atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(i_r)[valid], i_d[valid])
+        np.testing.assert_array_equal(j_r[valid], j_d[valid])
