@@ -97,7 +97,53 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.sign_plane_analyze_cpp.restype = ctypes.c_int
+    lib.sign_plane_analyze_cpp.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.free_idx.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     return lib
+
+
+def sign_plane_analyze_native(bits, R: int):
+    """Unpack the packed sign plane and find crossing cubes in one native
+    pass; returns (inside [R,R,R] bool, active_cube_ids [K], needed_voxel_ids
+    [M]) or None when the native library is unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(bits, dtype=np.uint8)
+    inside = np.empty(R * R * R, np.uint8)
+    pc = ctypes.POINTER(ctypes.c_int64)()
+    pn = ctypes.POINTER(ctypes.c_int64)()
+    nc = ctypes.c_int64()
+    nn = ctypes.c_int64()
+    rc = lib.sign_plane_analyze_cpp(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        R,
+        inside.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(pc), ctypes.byref(nc), ctypes.byref(pn), ctypes.byref(nn),
+    )
+    if rc != 0:
+        return None
+    # malloc(0) may return NULL — guard the empty-mesh case
+    cubes = (np.ctypeslib.as_array(pc, shape=(nc.value,)).copy()
+             if nc.value else np.zeros(0, np.int64))
+    needed = (np.ctypeslib.as_array(pn, shape=(nn.value,)).copy()
+              if nn.value else np.zeros(0, np.int64))
+    lib.free_idx(pc, pn)
+    return inside.reshape(R, R, R).astype(bool), cubes, needed
 
 
 def marching_tetrahedra_native(field, threshold: float = 0.0, active_cubes=None):

@@ -238,4 +238,64 @@ void free_mesh(float* verts, int32_t* faces) {
     std::free(faces);
 }
 
+// Sign-plane analysis for the sparse field fetch: unpack the little-endian
+// packed sign bits into `inside` (R^3 bytes, caller-allocated) and emit
+//   - active cube ids: cubes whose 8 corners disagree, linear over the
+//     (R-1)^3 cube lattice in C order,
+//   - needed voxel ids: every corner of an active cube, sorted ascending,
+// exactly matching the numpy reference (unpackbits + 8-shift counting +
+// flatnonzero) in recon/pipeline.py::_fetch_field_sparse.
+int sign_plane_analyze_cpp(const uint8_t* bits, int R, uint8_t* inside,
+                           int64_t** out_cubes, int64_t* n_cubes,
+                           int64_t** out_needed, int64_t* n_needed) {
+    const int64_t N = static_cast<int64_t>(R) * R * R;
+    for (int64_t i = 0; i < N; ++i)
+        inside[i] = (bits[i >> 3] >> (i & 7)) & 1;
+
+    const int C = R - 1;
+    std::vector<int64_t> cubes;
+    std::vector<uint8_t> needed(N, 0);
+    const int64_t RR = static_cast<int64_t>(R) * R;
+    for (int x = 0; x < C; ++x) {
+        const uint8_t* px = inside + static_cast<int64_t>(x) * RR;
+        for (int y = 0; y < C; ++y) {
+            const uint8_t* p00 = px + static_cast<int64_t>(y) * R;
+            const uint8_t* p01 = p00 + R;        // y+1
+            const uint8_t* p10 = p00 + RR;       // x+1
+            const uint8_t* p11 = p10 + R;        // x+1, y+1
+            for (int z = 0; z < C; ++z) {
+                int s = p00[z] + p00[z + 1] + p01[z] + p01[z + 1] +
+                        p10[z] + p10[z + 1] + p11[z] + p11[z + 1];
+                if (s == 0 || s == 8) continue;
+                cubes.push_back((static_cast<int64_t>(x) * C + y) * C + z);
+                const int64_t base = static_cast<int64_t>(x) * RR +
+                                     static_cast<int64_t>(y) * R + z;
+                needed[base] = needed[base + 1] = 1;
+                needed[base + R] = needed[base + R + 1] = 1;
+                needed[base + RR] = needed[base + RR + 1] = 1;
+                needed[base + RR + R] = needed[base + RR + R + 1] = 1;
+            }
+        }
+    }
+    std::vector<int64_t> nidx;
+    nidx.reserve(cubes.size() * 4);
+    for (int64_t i = 0; i < N; ++i)
+        if (needed[i]) nidx.push_back(i);
+
+    *n_cubes = static_cast<int64_t>(cubes.size());
+    *n_needed = static_cast<int64_t>(nidx.size());
+    *out_cubes =
+        static_cast<int64_t*>(std::malloc(cubes.size() * sizeof(int64_t)));
+    *out_needed =
+        static_cast<int64_t*>(std::malloc(nidx.size() * sizeof(int64_t)));
+    std::memcpy(*out_cubes, cubes.data(), cubes.size() * sizeof(int64_t));
+    std::memcpy(*out_needed, nidx.data(), nidx.size() * sizeof(int64_t));
+    return 0;
+}
+
+void free_idx(int64_t* a, int64_t* b) {
+    std::free(a);
+    std::free(b);
+}
+
 }  // extern "C"

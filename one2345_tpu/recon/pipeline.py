@@ -346,22 +346,29 @@ class ReconStage:
         vs the dense fetch: crossing detection uses the same `> threshold`
         bits, and every lerped edge endpoint has its exact value.
         """
+        from one2345_tpu.native.build import sign_plane_analyze_native
+
         R = resolution
         bits = np.asarray(self.pack_signs(q, threshold))
-        inside = (
-            np.unpackbits(bits, bitorder="little")[: R * R * R]
-            .reshape(R, R, R)
-            .astype(bool)
-        )
-        shifts = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
-        cnt = np.zeros((R - 1, R - 1, R - 1), np.uint8)
-        for dx, dy, dz in shifts:
-            cnt += inside[dx : R - 1 + dx, dy : R - 1 + dy, dz : R - 1 + dz]
-        active = (0 < cnt) & (cnt < 8)
-        needed = np.zeros((R, R, R), bool)
-        for dx, dy, dz in shifts:
-            needed[dx : R - 1 + dx, dy : R - 1 + dy, dz : R - 1 + dz] |= active
-        idx = np.flatnonzero(needed)
+        out = sign_plane_analyze_native(bits, R)
+        if out is not None:
+            inside, active_cubes, idx = out
+        else:  # numpy fallback (no compiler) — same semantics, tested equal
+            inside = (
+                np.unpackbits(bits, bitorder="little")[: R * R * R]
+                .reshape(R, R, R)
+                .astype(bool)
+            )
+            shifts = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+            cnt = np.zeros((R - 1, R - 1, R - 1), np.uint8)
+            for dx, dy, dz in shifts:
+                cnt += inside[dx : R - 1 + dx, dy : R - 1 + dy, dz : R - 1 + dz]
+            active = (0 < cnt) & (cnt < 8)
+            needed = np.zeros((R, R, R), bool)
+            for dx, dy, dz in shifts:
+                needed[dx : R - 1 + dx, dy : R - 1 + dy, dz : R - 1 + dz] |= active
+            active_cubes = np.flatnonzero(active)
+            idx = np.flatnonzero(needed)
 
         # reuse the fill buffer across calls: a fresh 67 MB float32 alloc
         # page-faults for ~0.5 s on first touch (measured); the buffer is
@@ -378,7 +385,7 @@ class ReconStage:
             pad[: idx.size] = idx
             vals = np.asarray(self.gather_field(q, jnp.asarray(pad)))[: idx.size]
             f.reshape(-1)[idx] = vals.astype(np.float32)
-        return f, np.flatnonzero(active)
+        return f, active_cubes
 
     @functools.partial(jax.jit, static_argnums=(0, 9))
     def color_chunk(

@@ -76,3 +76,34 @@ def test_sparse_cube_list_matches_dense_scan():
     vns, fns = marching_tetrahedra_native(u, 0.0, active_cubes=cubes)
     np.testing.assert_array_equal(vn, vns)
     np.testing.assert_array_equal(fn, fns)
+
+
+def test_sign_plane_analyze_matches_numpy():
+    """Native sign-plane analysis == the numpy unpackbits/count/flatnonzero
+    reference on a packed sphere field."""
+    from one2345_tpu.native.build import sign_plane_analyze_native
+
+    R = 33
+    u = _sphere(R, 0.5)
+    inside_ref = u > 0.0
+    bits = np.packbits(inside_ref.reshape(-1), bitorder="little")
+
+    out = sign_plane_analyze_native(bits, R)
+    if out is None:
+        pytest.skip("native library unavailable")
+    inside, cubes, needed = out
+
+    np.testing.assert_array_equal(inside, inside_ref)
+    cnt = np.zeros((R - 1,) * 3, np.uint8)
+    need_ref = np.zeros((R,) * 3, bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                cnt += inside_ref[dx: R - 1 + dx, dy: R - 1 + dy, dz: R - 1 + dz]
+    active_ref = (cnt > 0) & (cnt < 8)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                need_ref[dx: R - 1 + dx, dy: R - 1 + dy, dz: R - 1 + dz] |= active_ref
+    np.testing.assert_array_equal(cubes, np.flatnonzero(active_ref))
+    np.testing.assert_array_equal(needed, np.flatnonzero(need_ref))
