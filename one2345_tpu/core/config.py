@@ -216,6 +216,9 @@ class ElevationConfig(_ConfigBase):
     fine_span: int = 15
     match_threshold: float = 0.2
     default_elevation: float = 90.0  # fallback (run.py:32-36)
+    # backbone/transformer compute dtype; the matching heads (dual-softmax
+    # confidences, fine expected-coordinate heatmap) always run f32
+    dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

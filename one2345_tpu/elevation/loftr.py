@@ -147,12 +147,13 @@ class LocalFeatureTransformer(nn.Module):
     d_model: int
     nhead: int
     n_pairs: int  # number of (self, cross) pairs
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feat0, feat1):
         for i in range(self.n_pairs):
-            self_layer = LoFTREncoderLayer(self.d_model, self.nhead, name=f"self_{i}")
-            cross_layer = LoFTREncoderLayer(self.d_model, self.nhead, name=f"cross_{i}")
+            self_layer = LoFTREncoderLayer(self.d_model, self.nhead, self.dtype, name=f"self_{i}")
+            cross_layer = LoFTREncoderLayer(self.d_model, self.nhead, self.dtype, name=f"cross_{i}")
             feat0 = self_layer(feat0, feat0)
             feat1 = self_layer(feat1, feat1)
             f0 = cross_layer(feat0, feat1)
@@ -162,19 +163,24 @@ class LocalFeatureTransformer(nn.Module):
 
 
 class LoFTRModules(nn.Module):
-    """All LoFTR submodules under one param tree."""
+    """All LoFTR submodules under one param tree.
+
+    ``dtype`` is the conv/attention compute dtype (params stay f32).  The
+    matching heads downstream (dual-softmax confidences, fine expected-
+    coordinate heatmap) always run f32 in the matcher."""
 
     d_coarse: int = 256
     d_fine: int = 128
     nhead: int = 8
     window: int = 5
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNetFPN_8_2()
-        self.coarse_transformer = LocalFeatureTransformer(self.d_coarse, self.nhead, 4, name="coarse_tf")
-        self.fine_transformer = LocalFeatureTransformer(self.d_fine, self.nhead, 1, name="fine_tf")
-        self.down_proj = nn.Dense(self.d_fine, name="down_proj")
-        self.merge_feat = nn.Dense(self.d_fine, name="merge_feat")
+        self.backbone = ResNetFPN_8_2(dtype=self.dtype)
+        self.coarse_transformer = LocalFeatureTransformer(self.d_coarse, self.nhead, 4, self.dtype, name="coarse_tf")
+        self.fine_transformer = LocalFeatureTransformer(self.d_fine, self.nhead, 1, self.dtype, name="fine_tf")
+        self.down_proj = nn.Dense(self.d_fine, dtype=self.dtype, name="down_proj")
+        self.merge_feat = nn.Dense(self.d_fine, dtype=self.dtype, name="merge_feat")
 
     def __call__(self, images):
         """Init helper: traces EVERY submodule so the param tree is complete."""
@@ -208,8 +214,9 @@ class LoFTRMatcher:
     """Jitted end-to-end matcher with fixed top-K output."""
 
     def __init__(self, params=None, image_size: int = 480, max_matches: int = 1024,
-                 threshold: float = 0.2, border: int = 2, seed: int = 0):
-        self.modules = LoFTRModules()
+                 threshold: float = 0.2, border: int = 2, seed: int = 0,
+                 dtype=jnp.float32):
+        self.modules = LoFTRModules(dtype=dtype)
         self.image_size = image_size
         self.max_matches = max_matches
         self.threshold = threshold
@@ -239,9 +246,11 @@ class LoFTRMatcher:
         c = (coarse + pe[None]).reshape(2, hc * wc, d_c)
         c0, c1 = self.modules.apply(params, c[:1], c[1:2], method=LoFTRModules.coarse)
 
-        # ---- dual-softmax confidence
-        n0 = c0[0] / d_c**0.5
-        n1 = c1[0] / d_c**0.5
+        # ---- dual-softmax confidence (always f32: the mutual-NN max
+        # comparisons and the 0.2 threshold need more than bf16's 8-bit
+        # mantissa when the backbone runs half precision)
+        n0 = c0[0].astype(jnp.float32) / d_c**0.5
+        n1 = c1[0].astype(jnp.float32) / d_c**0.5
         sim = (n0 @ n1.T) / 0.1
         conf = jax.nn.softmax(sim, axis=0) * jax.nn.softmax(sim, axis=1)
 
@@ -296,8 +305,8 @@ class LoFTRMatcher:
         win1 = self.modules.apply(params, win1, c1[0][j_ids], method=LoFTRModules.fuse_fine)
         win0, win1 = self.modules.apply(params, win0, win1, method=LoFTRModules.fine)
 
-        center = win0[:, (Wn * Wn) // 2, :]
-        simf = jnp.einsum("mc,mrc->mr", center, win1) / d_f**0.5
+        center = win0[:, (Wn * Wn) // 2, :].astype(jnp.float32)
+        simf = jnp.einsum("mc,mrc->mr", center, win1.astype(jnp.float32)) / d_f**0.5
         heat = jax.nn.softmax(simf, axis=-1).reshape(-1, Wn, Wn)
         gy, gx = jnp.meshgrid(
             jnp.linspace(-1.0, 1.0, Wn), jnp.linspace(-1.0, 1.0, Wn), indexing="ij"

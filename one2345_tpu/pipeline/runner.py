@@ -138,7 +138,13 @@ class One2345Pipeline:
             from one2345_tpu.elevation.loftr import LoFTRMatcher
             from one2345_tpu.elevation.solver import ElevationEstimator
 
-            matcher = LoFTRMatcher(self._params.get("loftr"))
+            import jax.numpy as jnp
+
+            ecfg = self.config.elevation
+            matcher = LoFTRMatcher(
+                self._params.get("loftr"),
+                dtype=jnp.bfloat16 if ecfg.dtype == "bfloat16" else jnp.float32,
+            )
             self._elev = ElevationEstimator(
                 matcher,
                 focal=self.config.elevation.focal,
