@@ -90,9 +90,9 @@ def main(argv=None):
 
     emit("stage2_view0", *span(run_s2v0, args.repeats), views=4)
 
-    # elevation (LoFTR 6 pairs + sweep; includes D2H of the 4 views)
+    # elevation (LoFTR 6 pairs + sweep; device arrays in, as in the pipeline)
     def run_elev():
-        pipe.estimate_elevation(np.asarray(s2v0[0]))
+        pipe.estimate_elevation(s2v0[0])
 
     emit("elevation", *span(run_elev, args.repeats))
 

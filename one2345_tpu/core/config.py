@@ -181,11 +181,13 @@ class ReconConfig(_ConfigBase):
     # compute dtype of the conv feature path (FPN fusion + compress +
     # cost-volume U-Net + blending net).  The SDF MLP always runs f32
     # (SdfVolumeNetwork.mlp_dtype) and the cost-volume accumulation is
-    # f32 regardless; measured on a v5e: cond_volume 0.52 -> 0.44 s,
-    # sign agreement of the extracted field 99.95%, near-surface error
-    # ~1e-3 sdf (voxel size is 0.021) — see tests/test_recon_nets.py::
-    # test_sdf_volume_mixed_precision_fidelity.
-    dtype: str = "bfloat16"
+    # f32 regardless.  Defaults f32 so every training/validation/library
+    # construction keeps reference numerics; the INFERENCE pipeline opts
+    # into bf16 via PipelineConfig (measured on a v5e: cond_volume
+    # 0.52 -> 0.44 s, field sign agreement 99.95%, near-surface error
+    # ~1e-3 sdf vs voxel size 0.021 — tests/test_recon_nets.py::
+    # test_sdf_volume_mixed_precision_fidelity).
+    dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -226,7 +228,11 @@ class PipelineConfig(_ConfigBase):
     """End-to-end image->mesh orchestration (run.py:99-119 semantics)."""
 
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
-    recon: ReconConfig = field(default_factory=ReconConfig)
+    # inference runs the recon conv path in bf16 (fidelity-tested); bare
+    # ReconConfig() stays f32 for training/validation reference numerics
+    recon: ReconConfig = field(
+        default_factory=lambda: ReconConfig(dtype="bfloat16")
+    )
     sam: SamConfig = field(default_factory=SamConfig)
     elevation: ElevationConfig = field(default_factory=ElevationConfig)
     half_precision: bool = True

@@ -206,6 +206,14 @@ class ElevationEstimator:
         valid = res.valid & keep
         return k0s, k1s, res.conf * valid, valid
 
+    @staticmethod
+    def _foreground(imgs, masks):
+        """Foreground mask for match filtering: caller-supplied masks, or
+        the near-white background threshold (elev_est_api mask handling)."""
+        if masks is None:
+            return ~jnp.all(imgs > 245.0 / 255.0, axis=-1)
+        return jnp.asarray(masks) > 0
+
     def match_views(self, images, masks=None):
         """6 pairwise matchings at 480x480 grayscale, rescaled to the
         original frame + foreground filtering (get_feature_matching).
@@ -213,10 +221,7 @@ class ElevationEstimator:
         Accepts numpy or device arrays; all preprocessing runs on device."""
         assert images.shape[0] == 4
         imgs = jnp.asarray(images, jnp.float32)
-        if masks is None:
-            fg = ~jnp.all(imgs > 245.0 / 255.0, axis=-1)
-        else:
-            fg = jnp.asarray(masks) > 0
+        fg = self._foreground(imgs, masks)
         k0s, k1s, confs, valids = jax.device_get(
             self._match_views_jit(self.matcher.params, imgs, fg)
         )
@@ -248,10 +253,7 @@ class ElevationEstimator:
         sweep directly; only the 6 per-pair validity counts and the final
         elevation scalar cross the (slow) device<->host link."""
         imgs = jnp.asarray(images, jnp.float32)
-        if masks is None:
-            fg = ~jnp.all(imgs > 245.0 / 255.0, axis=-1)
-        else:
-            fg = jnp.asarray(masks) > 0
+        fg = self._foreground(imgs, masks)
         arrs = self._match_views_jit(self.matcher.params, imgs, fg)
         n_valid = np.asarray(jnp.sum(arrs[3], axis=1))  # [6] tiny fetch
         if (n_valid == 0).any():

@@ -19,11 +19,15 @@ _lib = None
 _load_failed = False
 
 
-def build(force: bool = False) -> str | None:
-    if os.path.exists(_SO) and not force:
+def build(force: bool = False, out: str | None = None) -> str | None:
+    """:param out: output path override — the stale-.so recovery must build
+    to a FRESH path, because dlopen dedups by pathname and would hand back
+    the already-loaded stale handle for the original file."""
+    out = out or _SO
+    if os.path.exists(out) and not force:
         newest_src = max(os.path.getmtime(s) for s in _SRC)
-        if os.path.getmtime(_SO) >= newest_src:
-            return _SO
+        if os.path.getmtime(out) >= newest_src:
+            return out
     try:
         # no -march=native: the .so is built on first use on whatever host
         # runs it (it is gitignored), and portable codegen avoids SIGILL if
@@ -31,11 +35,11 @@ def build(force: bool = False) -> str | None:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
             + _SRC
-            + ["-o", _SO],
+            + ["-o", out],
             check=True,
             capture_output=True,
         )
-        return _SO
+        return out
     except (subprocess.CalledProcessError, FileNotFoundError):
         return None
 
@@ -53,8 +57,16 @@ def load() -> ctypes.CDLL | None:
     try:
         lib = _bind(ctypes.CDLL(so))
     except (OSError, AttributeError):
-        # stale cached .so missing a newer symbol — rebuild once
-        so = build(force=True)
+        # Stale cached .so missing a newer symbol.  Rebuild to a FRESH
+        # temp path and load that: dlopen dedups by pathname, so an
+        # in-place rebuild of the already-mapped file would return the
+        # same stale handle (and overwriting a mapped ELF is UB).
+        import tempfile
+
+        tmp = os.path.join(
+            tempfile.gettempdir(), f"libone2345_native_{os.getpid()}.so"
+        )
+        so = build(force=True, out=tmp)
         try:
             lib = _bind(ctypes.CDLL(so)) if so else None
         except (OSError, AttributeError):
@@ -143,7 +155,8 @@ def sign_plane_analyze_native(bits, R: int):
     needed = (np.ctypeslib.as_array(pn, shape=(nn.value,)).copy()
               if nn.value else np.zeros(0, np.int64))
     lib.free_idx(pc, pn)
-    return inside.reshape(R, R, R).astype(bool), cubes, needed
+    # zero-copy reinterpret: the buffer holds 0/1 bytes and is caller-owned
+    return inside.reshape(R, R, R).view(np.bool_), cubes, needed
 
 
 def marching_tetrahedra_native(field, threshold: float = 0.0, active_cubes=None):

@@ -206,8 +206,15 @@ static int marching_tets_impl(const float* field, int X, int Y, int Z,
     *out_verts = static_cast<float*>(std::malloc(verts.size() * sizeof(float)));
     *out_faces =
         static_cast<int32_t*>(std::malloc(faces.size() * sizeof(int32_t)));
-    std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
-    std::memcpy(*out_faces, faces.data(), faces.size() * sizeof(int32_t));
+    if ((verts.size() && !*out_verts) || (faces.size() && !*out_faces)) {
+        std::free(*out_verts);
+        std::free(*out_faces);
+        return 1;  // allocation failure -> caller falls back to numpy
+    }
+    if (verts.size())
+        std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
+    if (faces.size())
+        std::memcpy(*out_faces, faces.data(), faces.size() * sizeof(int32_t));
     return 0;
 }
 
@@ -288,8 +295,15 @@ int sign_plane_analyze_cpp(const uint8_t* bits, int R, uint8_t* inside,
         static_cast<int64_t*>(std::malloc(cubes.size() * sizeof(int64_t)));
     *out_needed =
         static_cast<int64_t*>(std::malloc(nidx.size() * sizeof(int64_t)));
-    std::memcpy(*out_cubes, cubes.data(), cubes.size() * sizeof(int64_t));
-    std::memcpy(*out_needed, nidx.data(), nidx.size() * sizeof(int64_t));
+    if ((cubes.size() && !*out_cubes) || (nidx.size() && !*out_needed)) {
+        std::free(*out_cubes);
+        std::free(*out_needed);
+        return 1;  // allocation failure -> caller falls back to numpy
+    }
+    if (cubes.size())
+        std::memcpy(*out_cubes, cubes.data(), cubes.size() * sizeof(int64_t));
+    if (nidx.size())
+        std::memcpy(*out_needed, nidx.data(), nidx.size() * sizeof(int64_t));
     return 0;
 }
 

@@ -20,8 +20,7 @@ def build_parser():
     p.add_argument("--learning_rate", type=float, default=2e-4)
     p.add_argument("--n_rays", type=int, default=512)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
-                   help="conv-path compute dtype; training defaults to f32 "
-                        "(reference numerics) while inference defaults bf16")
+                   help="conv-path compute dtype (f32 = reference numerics)")
     p.add_argument("--ckpt_every", type=int, default=5000)  # conf save_freq
     p.add_argument("--log_every", type=int, default=100)  # conf report_freq
     p.add_argument("--val_every", type=int, default=0,
