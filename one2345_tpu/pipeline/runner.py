@@ -274,6 +274,22 @@ class One2345Pipeline:
             mesh_resolution=mesh_resolution or self.config.mesh_resolution,
             seed=0,
         )
+        # The warm-up input yields no LoFTR matches, so run() above takes
+        # the elevation fallback and never traces the pose sweep — compile
+        # it here on empty slates (same shapes as real matches) so the
+        # first real request doesn't pay a multi-minute remote compile.
+        import jax.numpy as jnp
+
+        from one2345_tpu.elevation.solver import PAIRS, _sweep_two_stage
+
+        est = self.elevation_estimator
+        K = est.matcher.max_matches
+        P = len(PAIRS)
+        arrs = (
+            jnp.zeros((P, K, 2)), jnp.zeros((P, K, 2)),
+            jnp.zeros((P, K)), jnp.zeros((P, K), bool),
+        )
+        float(_sweep_two_stage(jnp.asarray(est.K), arrs, P))
         return result.timings
 
     def run(
