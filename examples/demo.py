@@ -11,6 +11,13 @@ Artifacts land in the reference-compatible layout:
     exp/demo/pose.json       camera rig (focal 280, near/far [0.5, 1.8])
 """
 
+# allow `python examples/<name>.py` from the repo root without installing
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 
 import numpy as np

@@ -7,6 +7,13 @@ per-stage wall-clock table (the observability the reference lacks —
 SURVEY §5 lists only ad-hoc wall-clock prints).
 """
 
+# allow `python examples/<name>.py` from the repo root without installing
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 

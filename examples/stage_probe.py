@@ -11,6 +11,12 @@ Stage timings are measured warm (each stage runs once for compile, then
 
 from __future__ import annotations
 
+# allow `python examples/<name>.py` from the repo root without installing
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
