@@ -1,0 +1,175 @@
+"""Real-weights validation runbook: download -> convert -> golden run -> eval.
+
+One command chains everything needed to validate the framework against the
+reference's published checkpoints the day an egress-capable environment
+(or a directory of manually-obtained .ckpt/.pth files) is available:
+
+    python examples/validate_real_weights.py --work exp/real_weights \
+        [--ckpt_dir ckpts] [--img /path/to/input.png] [--skip_download]
+
+Phases (each skipped automatically when its output already exists):
+  1. download the 4 published checkpoints (download_ckpt.py:21-29 parity);
+     without egress this fails fast and prints where to place files
+  2. convert them to ONE orbax tree (utils/convert_cli — converter
+     numerics are proven module-by-module in tests/test_torch_parity.py)
+  3. golden pipeline run on a demo image: dumps per-stage artifacts
+     (preprocessed input, stage-1 grid, stage-2 grid, mesh.ply) for
+     eyeball + regression comparison against the reference's outputs
+  4. eval-sweep smoke on the in-tree backpack pair (CD / F-score harness)
+
+Exit code 0 = every phase that could run succeeded.
+"""
+
+# allow `python examples/<name>.py` from the repo root without installing
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+DEMO_IMG = "/root/reference/demo/demo_examples/01_wild_hydrant.png"
+REF_RENDER = "/root/reference/render/examples"
+
+
+def phase_download(ckpt_dir: str, skip: bool) -> dict | None:
+    from one2345_tpu.utils.download_ckpt import CKPTS, DownloadError, download_all
+
+    have = {
+        n: os.path.join(ckpt_dir, n)
+        for n in CKPTS
+        if os.path.isfile(os.path.join(ckpt_dir, n))
+    }
+    missing = sorted(set(CKPTS) - set(have))
+    if not missing:
+        print(f"[1/4] download: all 4 checkpoints present in {ckpt_dir}")
+        return have
+    if skip:
+        print(f"[1/4] download skipped; missing {missing}")
+        return have or None
+    try:
+        return download_all(ckpt_dir)
+    except DownloadError as e:
+        print(f"[1/4] download FAILED: {e}")
+        print(f"      place the files in {ckpt_dir}/ and re-run.")
+        return have or None
+
+
+def phase_convert(paths: dict, params_dir: str) -> str | None:
+    if os.path.isdir(params_dir) and os.listdir(params_dir):
+        print(f"[2/4] convert: {params_dir} already populated")
+        return params_dir
+    from one2345_tpu.utils import convert_cli
+
+    argv = ["--out", params_dir]
+    for flag, name in (
+        ("--zero123", "zero123-xl.ckpt"),
+        ("--sam", "sam_vit_h_4b8939.pth"),
+        ("--loftr", "indoor_ds_new.ckpt"),
+        ("--recon", "ckpt_215000.pth"),
+    ):
+        if name in paths:
+            argv += [flag, paths[name]]
+    if len(argv) == 2:
+        print("[2/4] convert: no checkpoints to convert")
+        return None
+    convert_cli.main(argv)
+    return params_dir
+
+
+def phase_golden_run(params_dir: str | None, work: str, img_path: str) -> bool:
+    from PIL import Image
+
+    from one2345_tpu.core import checkpoint
+    from one2345_tpu.core.config import PipelineConfig
+    from one2345_tpu.pipeline.runner import One2345Pipeline
+    from one2345_tpu.utils.image import image_grid
+
+    params = checkpoint.restore(params_dir) if params_dir else None
+    if params is None:
+        print("[3/4] golden run on RANDOM weights (no converted params) — "
+              "timing/shape check only, outputs are not comparable")
+    pipe = One2345Pipeline(PipelineConfig(), params, use_sam=True)
+
+    out_dir = os.path.join(work, "golden")
+    if os.path.isfile(img_path) and os.path.getsize(img_path) > 10_000:
+        raw = np.asarray(Image.open(img_path).convert("RGBA"))
+    else:
+        print(f"[3/4] {img_path} unavailable (lfs stub?) — synthetic input")
+        rng = np.random.default_rng(0)
+        raw = np.full((512, 512, 4), 255, np.uint8)
+        raw[128:384, 128:384, :3] = rng.uniform(40, 200, (256, 256, 3)).astype(np.uint8)
+
+    pre = pipe.preprocess(raw, safety_check=False)
+    Image.fromarray((pre * 255).astype(np.uint8)).save(
+        os.path.join(_ensure(out_dir), "preprocessed.png")
+    )
+    result = pipe.run(pre, out_dir=out_dir, skip_preprocess=True, seed=0)
+    s1 = np.asarray(result.stage1_images)
+    s2 = np.asarray(result.stage2_images).reshape(-1, *s1.shape[1:])
+    Image.fromarray((image_grid(s1, 2, 4) * 255).astype(np.uint8)).save(
+        os.path.join(out_dir, "stage1_grid.png")
+    )
+    Image.fromarray((image_grid(s2, 4, 8) * 255).astype(np.uint8)).save(
+        os.path.join(out_dir, "stage2_grid.png")
+    )
+    print(
+        f"[3/4] golden run OK: elevation={result.elevation:.1f} deg, "
+        f"{len(result.vertices)} verts -> {out_dir}/ "
+        f"(timings {json.dumps({k: round(v, 2) for k, v in result.timings.items()})})"
+    )
+    return True
+
+
+def phase_eval_sweep(work: str) -> bool:
+    gt = os.path.join(REF_RENDER, "objaverse")
+    pred = os.path.join(REF_RENDER, "ours")
+    if not (os.path.isdir(gt) and os.path.isdir(pred)):
+        print("[4/4] eval sweep skipped: reference example meshes not mounted")
+        return True
+    from one2345_tpu.eval.sweep import run_sweep
+
+    table = run_sweep(pred, gt)
+    out = os.path.join(work, "eval_sweep.json")
+    with open(out, "w") as f:
+        json.dump(table, f, indent=2)
+    print(f"[4/4] eval sweep -> {out}: {json.dumps(table)[:300]}")
+    return True
+
+
+def _ensure(d):
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--work", default="exp/real_weights")
+    p.add_argument("--ckpt_dir", default=None, help="default <work>/ckpts")
+    p.add_argument("--img", default=DEMO_IMG)
+    p.add_argument("--skip_download", action="store_true")
+    p.add_argument(
+        "--dry_run", action="store_true",
+        help="stop after the download/convert phases (no TPU required)",
+    )
+    args = p.parse_args(argv)
+
+    work = _ensure(args.work)
+    ckpt_dir = args.ckpt_dir or os.path.join(work, "ckpts")
+    paths = phase_download(ckpt_dir, args.skip_download)
+    params_dir = phase_convert(paths, os.path.join(work, "params")) if paths else None
+    if args.dry_run:
+        print("dry run: stopping before the pipeline phases")
+        return 0
+    ok = phase_golden_run(params_dir, work, args.img)
+    ok = phase_eval_sweep(work) and ok
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -219,8 +219,10 @@ class ElevationConfig(_ConfigBase):
     match_threshold: float = 0.2
     default_elevation: float = 90.0  # fallback (run.py:32-36)
     # backbone/transformer compute dtype; the matching heads (dual-softmax
-    # confidences, fine expected-coordinate heatmap) always run f32
-    dtype: str = "bfloat16"
+    # confidences, fine expected-coordinate heatmap) always run f32.
+    # Bare ElevationConfig stays f32 (validation/parity numerics);
+    # PipelineConfig opts inference into bf16, mirroring the recon field.
+    dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -234,7 +236,11 @@ class PipelineConfig(_ConfigBase):
         default_factory=lambda: ReconConfig(dtype="bfloat16")
     )
     sam: SamConfig = field(default_factory=SamConfig)
-    elevation: ElevationConfig = field(default_factory=ElevationConfig)
+    # inference runs the LoFTR backbone/transformer in bf16 (see
+    # ElevationConfig.dtype note); bare ElevationConfig() stays f32
+    elevation: ElevationConfig = field(
+        default_factory=lambda: ElevationConfig(dtype="bfloat16")
+    )
     half_precision: bool = True
     output_format: str = ".ply"
     mesh_resolution: int = 256

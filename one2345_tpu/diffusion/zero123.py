@@ -180,15 +180,25 @@ class Zero123Stage:
         steps: int | None = None,
         cfg_scale: float | None = None,
         sampler: str = "ddim",
+        noise_ids=None,
     ) -> jnp.ndarray:
         """Generate B novel views in one scan.  Returns [B, 256, 256, 3] in [0,1].
 
         :param sampler: 'ddim' (default, eta from config) or 'plms'
-            (eta=0 multistep — the reference's alternative sampler)."""
+            (eta=0 multistep — the reference's alternative sampler).
+        :param noise_ids: optional int per view — every view's init/loop
+            noise is `fold_in(key, id)`-derived, so the SAME (key, id)
+            yields the SAME image regardless of batch position, batch size,
+            or mesh topology (the 8-view both-rings plan on an 8-chip mesh
+            reproduces the single-chip 4-view images exactly).  Default:
+            batch position (arange)."""
         cfg_scale = self.config.cfg_scale if cfg_scale is None else cfg_scale
         steps = steps or self.config.ddim_steps_stage1
         T = jnp.asarray(pose_tokens(delta_x_deg, delta_y_deg))
         n_views = cond_images.shape[0]
+        if noise_ids is None:
+            noise_ids = np.arange(n_views)
+        noise_ids = jnp.asarray(noise_ids, jnp.uint32)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -204,26 +214,40 @@ class Zero123Stage:
                     [cond_images, jnp.repeat(cond_images[-1:], pad, axis=0)], axis=0
                 )
                 T = jnp.concatenate([T, jnp.repeat(T[-1:], pad, axis=0)], axis=0)
+                noise_ids = jnp.concatenate(
+                    [noise_ids, jnp.repeat(noise_ids[-1:], pad, axis=0)], axis=0
+                )
             data = NamedSharding(self.mesh, P("data"))
             cond_images = jax.device_put(cond_images, data)
             T = jax.device_put(T, data)
+            noise_ids = jax.device_put(noise_ids, data)
         if sampler == "plms":
             sched = make_ddim_schedule(
                 steps, self.config.timesteps, 0.0,
                 self.config.linear_start, self.config.linear_end,
             )
             out = self._sample_views_plms_jit(
-                self.params, cond_images, T, key, sched, cfg_scale
+                self.params, cond_images, T, key, noise_ids, sched, cfg_scale
             )
         else:
             sched = self._schedule(steps)
             out = self._sample_views_jit(
-                self.params, cond_images, T, key, sched, cfg_scale
+                self.params, cond_images, T, key, noise_ids, sched, cfg_scale
             )
         return out[:n_views]
 
+    def _per_view_noise(self, key, noise_ids, draw: int, shape):
+        """[B, *shape] gaussian noise keyed by (key, view id, draw index) —
+        identical per view across any batch composition (see sample_views)."""
+
+        def one(vid):
+            k = jax.random.fold_in(key, vid)
+            return jax.random.normal(jax.random.fold_in(k, draw), shape)
+
+        return jax.vmap(one)(noise_ids)
+
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cfg_scale",))
-    def _sample_views_plms_jit(self, params, cond_images, T, key, sched, cfg_scale):
+    def _sample_views_plms_jit(self, params, cond_images, T, key, noise_ids, sched, cfg_scale):
         from one2345_tpu.diffusion.plms import plms_sample
 
         B = cond_images.shape[0]
@@ -232,7 +256,7 @@ class Zero123Stage:
         ctx, concat = self.encode_conditioning(params, cond_images, T)
         ctx_in = jnp.concatenate([jnp.zeros_like(ctx), ctx], axis=0)
         concat_in = jnp.concatenate([jnp.zeros_like(concat), concat], axis=0)
-        x = jax.random.normal(key, (B, L, L, zc))
+        x = self._per_view_noise(key, noise_ids, 0, (L, L, zc))
 
         def eps_fn(x, t):
             x_in = jnp.concatenate([x, x], axis=0)
@@ -247,7 +271,7 @@ class Zero123Stage:
         return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
 
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cfg_scale",))
-    def _sample_views_jit(self, params, cond_images, T, key, sched: DDIMSchedule, cfg_scale):
+    def _sample_views_jit(self, params, cond_images, T, key, noise_ids, sched: DDIMSchedule, cfg_scale):
         B = cond_images.shape[0]
         L = self.config.latent_size
         zc = self.config.vae.z_channels
@@ -257,12 +281,12 @@ class Zero123Stage:
         ctx_in = jnp.concatenate([jnp.zeros_like(ctx), ctx], axis=0)
         concat_in = jnp.concatenate([jnp.zeros_like(concat), concat], axis=0)
 
-        k_init, k_loop = jax.random.split(key)
-        x = jax.random.normal(k_init, (B, L, L, zc))
+        x = self._per_view_noise(key, noise_ids, 0, (L, L, zc))
 
         consts = jax.tree_util.tree_map(
             jnp.asarray,
             (
+                jnp.arange(1, len(sched.timesteps) + 1),  # per-view noise draw id
                 sched.timesteps,
                 sched.alphas,
                 sched.alphas_prev,
@@ -271,9 +295,8 @@ class Zero123Stage:
             ),
         )
 
-        def step(carry, per_step):
-            x, k = carry
-            t, a_t, a_prev, sigma_t, sqrt_1m_a = per_step
+        def step(x, per_step):
+            draw, t, a_t, a_prev, sigma_t, sqrt_1m_a = per_step
             x_in = jnp.concatenate([x, x], axis=0)
             ts = jnp.full((2 * B,), t, jnp.int32)
             unet_in = jnp.concatenate([x_in, concat_in], axis=-1)
@@ -283,12 +306,11 @@ class Zero123Stage:
 
             pred_x0 = (x - sqrt_1m_a * e_t) / jnp.sqrt(a_t)
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
-            k, kn = jax.random.split(k)
-            noise = sigma_t * jax.random.normal(kn, x.shape)
+            noise = sigma_t * self._per_view_noise(key, noise_ids, draw, (L, L, zc))
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-            return (x_prev, k), None
+            return x_prev, None
 
-        (x, _), _ = jax.lax.scan(step, (x, k_loop), consts)
+        x, _ = jax.lax.scan(step, x, consts)
 
         imgs = self.decoder.apply(params["decoder"], x / self.scale_factor)
         return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
@@ -308,14 +330,21 @@ class Zero123Stage:
         cond = jnp.tile(img[None], (len(idx), 1, 1, 1))
         dx = [STAGE1_DELTA_X[i] for i in idx]
         dy = [STAGE1_DELTA_Y[i] for i in idx]
+        # noise keyed by the GLOBAL candidate-view id, so any index subset
+        # (e.g. the 8-view both-rings plan on an 8-chip mesh vs the
+        # single-chip 4-view ring) yields identical per-view images
         return self.sample_views(
-            cond, dx, dy, key, steps=steps or self.config.ddim_steps_stage1
+            cond, dx, dy, key, steps=steps or self.config.ddim_steps_stage1,
+            noise_ids=idx,
         )
 
-    def stage2(self, stage1_images: np.ndarray, key, steps=None):
+    def stage2(self, stage1_images: np.ndarray, key, steps=None, view_ids=None):
         """All nearby views for each stage-1 view in ONE batch.
 
         :param stage1_images: [N, 256, 256, 3] in [0, 1]
+        :param view_ids: optional per-parent-view int ids (default arange) —
+            keys the noise so a view's 4 nearby images are reproducible
+            regardless of how the parent batch is split across calls
         :return: [N, 4, 256, 256, 3] in [0, 1]
         """
         n = stage1_images.shape[0]
@@ -326,7 +355,11 @@ class Zero123Stage:
         cond = jnp.repeat(imgs, 4, axis=0) * 2.0 - 1.0  # [4N, ...]
         dx = STAGE2_DELTA_X * n
         dy = STAGE2_DELTA_Y * n
+        if view_ids is None:
+            view_ids = list(range(n))
+        ids = [12 + int(v) * 4 + j for v in view_ids for j in range(4)]
         out = self.sample_views(
-            cond, dx, dy, key, steps=steps or self.config.ddim_steps_stage2
+            cond, dx, dy, key, steps=steps or self.config.ddim_steps_stage2,
+            noise_ids=ids,
         )
         return out.reshape(n, 4, *out.shape[1:])

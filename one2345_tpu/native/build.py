@@ -74,6 +74,21 @@ def load() -> ctypes.CDLL | None:
         if lib is None:
             _load_failed = True
             return None
+        # Repair the cached .so too so future processes dlopen the fresh
+        # build directly instead of repeating this failed-load + rebuild
+        # cycle.  The stale _SO is mapped in THIS process (its dlopen
+        # succeeded; only symbol binding failed), so don't truncate it in
+        # place — build a sibling and rename over it (the mapped inode
+        # survives the rename).  Also drop the per-PID temp file at exit.
+        import atexit
+
+        repaired = build(force=True, out=_SO + ".new")
+        if repaired is not None:
+            try:
+                os.replace(repaired, _SO)
+            except OSError:
+                pass
+        atexit.register(lambda p=tmp: os.path.exists(p) and os.unlink(p))
     _lib = lib
     return _lib
 

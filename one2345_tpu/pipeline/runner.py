@@ -35,7 +35,10 @@ def select_stage1b_plan(polar: float, n_devices: int):
     needed ring.  On an 8-device mesh the 4-view batch would be PADDED to 8
     anyway (half the FLOPs wasted on duplicate rows) — so sample BOTH
     elevation rings (views 4..11, same cost) and slice out the needed one;
-    the spare ring is free insurance for per-view retries.
+    the spare ring is free insurance for per-view retries.  Per-view noise
+    is keyed by the GLOBAL candidate-view id (sample_views noise_ids), so
+    the 8-view plan produces bit-identical ring images to the single-chip
+    4-view plan under the same seed — topology does not change outputs.
 
     :return: (indices_to_sample, slice_for_needed_ring, second_ring_ids)
     """
@@ -239,9 +242,16 @@ class One2345Pipeline:
         if safety_check and self.check_safety(rgb):
             raise UnsafeImageError("NSFW content detected")
         if self.use_sam:
+            # one ViT-H encode serves both the bbox seed and the final
+            # box-prompted mask (SamPredictor set_image semantics)
+            cache = self.sam.set_image(rgb)
             if bbox is None:
-                bbox = img_utils.estimate_bbox(rgb)
-            mask = self.sam.segment_bbox(rgb, bbox)
+                # rembg replacement: let SAM itself propose the object box;
+                # classical saliency estimate as fallback
+                bbox = self.sam.seed_bbox(cache)
+                if bbox is None:
+                    bbox = img_utils.estimate_bbox(rgb)
+            mask = self.sam.predict_box(cache, bbox)
         else:
             bg = ~np.all(rgb > 245, axis=-1)
             mask = bg
@@ -326,7 +336,8 @@ class One2345Pipeline:
         # ---- stage 2 for view 0 (elevation estimation input, run.py:28-30)
         with timer.span("stage2_view0"):
             s2_v0 = self.zero123.stage2(
-                s1_first[:1], k_s2e, steps=cfg.diffusion.ddim_steps_stage2
+                s1_first[:1], k_s2e, steps=cfg.diffusion.ddim_steps_stage2,
+                view_ids=[0],
             )  # [1, 4, ...]
             s2_v0.block_until_ready()
 
@@ -350,7 +361,8 @@ class One2345Pipeline:
         # ---- stage 2 for the remaining 7 views (run.py stage2_run)
         with timer.span("stage2"):
             rest = self.zero123.stage2(
-                stage1_images[1:], k_s2, steps=cfg.diffusion.ddim_steps_stage2
+                stage1_images[1:], k_s2, steps=cfg.diffusion.ddim_steps_stage2,
+                view_ids=list(range(1, 8)),
             )  # [7, 4, ...]
             rest.block_until_ready()
         stage2_images = jnp.concatenate([s2_v0, rest], axis=0)  # [8, 4, ...]

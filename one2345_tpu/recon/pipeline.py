@@ -342,9 +342,13 @@ class ReconStage:
         find crossing cubes on host, gather exact i8 values for just their
         corners, and fill everything else with the sign-correct clip value
         (+-120 — identical to the on-device far-field clip, so gradients
-        used for face orientation keep their sign).  The mesh is bit-exact
-        vs the dense fetch: crossing detection uses the same `> threshold`
-        bits, and every lerped edge endpoint has its exact value.
+        used for face orientation keep their sign).  Vertices and triangles
+        are bit-exact vs the dense fetch (crossing detection uses the same
+        `> threshold` bits, and every lerped edge endpoint has its exact
+        value); face WINDING may differ on knife-edge faces, because the
+        central-difference orientation stencil can read +-120 fill values
+        at neighbors of crossing-cube corners (<2% of faces in the
+        identical-mesh test, which tolerates exactly that).
         """
         from one2345_tpu.native.build import sign_plane_analyze_native
 

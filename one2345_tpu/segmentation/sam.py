@@ -368,6 +368,26 @@ class SamStage:
         sparse = sparse + params["extra"]["box_embed"]
         return self.decoder.apply(params["decoder"], embedding, image_pe, sparse[None])
 
+    def seed_bbox(self, cache: dict, margin: float = 0.05):
+        """Bbox of the dominant object, predicted by SAM itself from a
+        generous near-full-frame box prompt — the rembg/u2net replacement
+        (pred_bbox, utils/utils.py:10-19; the bbox only seeds the final
+        box prompt, so 'dominant object under a frame-wide box' is the
+        right question to ask the model).
+
+        :return: (x0, y0, x1, y1) or None when the mask is degenerate
+            (empty / nearly frame-filling) and the caller should fall back
+            to `utils.image.estimate_bbox`."""
+        H, W = cache["hw"]
+        box = (margin * W, margin * H, (1.0 - margin) * W, (1.0 - margin) * H)
+        mask = self.predict_box(cache, box)
+        frac = float(mask.mean())
+        if frac < 1e-3 or frac > 0.9:
+            return None
+        from one2345_tpu.utils.image import bbox_from_mask
+
+        return bbox_from_mask(mask)
+
     def predict_box(self, cache: dict, bbox) -> np.ndarray:
         """Mask from a box prompt against a cached image encoding."""
         import cv2

@@ -25,18 +25,35 @@ def bbox_from_mask(mask: np.ndarray) -> tuple[int, int, int, int]:
 
 
 def estimate_bbox(image: np.ndarray) -> tuple[int, int, int, int]:
-    """Coarse foreground bbox without rembg: treat near-white / near-border
-    background out, keep the largest contrast region."""
+    """Coarse foreground bbox without rembg (pred_bbox stand-in,
+    utils/utils.py:10-19): per-pixel COLOR distance from the median border
+    color, Otsu-thresholded, largest connected component.
+
+    Unlike the earlier gray-contrast version this handles dark and lightly
+    textured backgrounds too: the border median estimates whatever the
+    background is, Otsu adapts the threshold to the actual contrast
+    distribution, and the largest-component pick rejects texture speckle.
+    The bbox only seeds SAM's box prompt, so coarse is fine — prefer
+    `SamStage.seed_bbox` (the object segmented by SAM itself) when a SAM
+    stage is available."""
     import cv2
 
-    g = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)
-    # assume light background (the demo images are white/transparent-bg)
-    bg = np.median(np.concatenate([g[0], g[-1], g[:, 0], g[:, -1]]))
-    fg = np.abs(g.astype(np.int32) - int(bg)) > 12
-    fg = cv2.morphologyEx(
-        fg.astype(np.uint8), cv2.MORPH_OPEN, np.ones((5, 5), np.uint8)
-    )
-    return bbox_from_mask(fg)
+    img = image[..., :3].astype(np.float32)
+    border = np.concatenate([img[0], img[-1], img[:, 0], img[:, -1]], axis=0)
+    bg = np.median(border, axis=0)
+    dist = np.linalg.norm(img - bg, axis=-1)
+    peak = float(dist.max())
+    if peak < 12.0:  # blank frame — no object to find
+        h, w = dist.shape
+        return 0, 0, w - 1, h - 1
+    d8 = np.clip(dist * (255.0 / peak), 0, 255).astype(np.uint8)
+    _, fg = cv2.threshold(d8, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    fg = cv2.morphologyEx(fg, cv2.MORPH_OPEN, np.ones((5, 5), np.uint8))
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(fg)
+    if n > 1:
+        best = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+        fg = labels == best
+    return bbox_from_mask(fg > 0)
 
 
 def thumbnail(img: Image.Image, size: int = 512) -> Image.Image:

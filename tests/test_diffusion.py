@@ -136,3 +136,21 @@ def test_zero123_tiny_sampler():
 
     s2 = stage.stage2(np.asarray(out), jax.random.key(2), steps=2)
     assert s2.shape == (2, 4, 32, 32, 3)
+
+
+def test_noise_keyed_by_view_id_not_batch_position():
+    """A view's image must not depend on which index subset it was sampled
+    in: the runner's 8-view both-rings plan (8-chip mesh) and the
+    single-chip 4-view ring plan must agree bit-for-bit under one seed."""
+    stage = Zero123Stage(tiny_config(), seed=0)
+    img = np.random.default_rng(0).uniform(size=(32, 32, 3)).astype(np.float32)
+    key = jax.random.key(7)
+    ring = np.asarray(stage.stage1(img, key, indices=[4, 5, 6, 7], steps=2))
+    both = np.asarray(stage.stage1(img, key, indices=list(range(4, 12)), steps=2))
+    np.testing.assert_array_equal(ring, both[:4])
+
+    # stage-2: parent-view ids key the noise the same way
+    s1 = np.asarray(stage.stage1(img, key, indices=[0, 1], steps=2))
+    a = np.asarray(stage.stage2(s1[1:], jax.random.key(2), steps=2, view_ids=[1]))
+    b = np.asarray(stage.stage2(s1, jax.random.key(2), steps=2, view_ids=[0, 1]))
+    np.testing.assert_array_equal(a[0], b[1])
