@@ -200,7 +200,12 @@ class FinetuneTrainer:
             jnp.zeros((4, self.blend_net.d_feature)),
             jnp.zeros((4, 2, 3)), jnp.ones((4, 2)),
         )
-        sdf_params = self.stage.params["sdf"]["params"]["sdf_layer"]
+        # COPY the warm-start weights: train_step donates the state, and
+        # donated leaves that alias stage.params would delete the stage's
+        # own buffers after the first step (breaking any later stage use)
+        sdf_params = jax.tree_util.tree_map(
+            jnp.array, self.stage.params["sdf"]["params"]["sdf_layer"]
+        )
         trainable = (volume, {"params": sdf_params}, blend_params)
         return FinetuneState(
             volume=volume,
@@ -260,7 +265,12 @@ class FinetuneTrainer:
             H, W = scene["images"].shape[1:3]
 
             def fitted_color_fn(flat_pts, dirs, feat, grads):
-                normals = grads / (jnp.linalg.norm(grads, axis=-1, keepdims=True) + 1e-6)
+                # eps INSIDE the sqrt: mask-gated samples carry exactly-zero
+                # gradients and d||x||/dx at 0 is NaN — it would poison the
+                # whole backward pass through the SDF MLP (same hazard the
+                # renderer guards at its grad_norm; renderer.py:285)
+                norm = jnp.sqrt(jnp.sum(grads**2, axis=-1, keepdims=True) + 1e-12)
+                normals = grads / (norm + 1e-6)
                 pix_c, pix_m = pixel_warp(
                     flat_pts, scene["images"], scene["w2cs"], scene["intrinsics"], (H, W)
                 )
