@@ -43,23 +43,27 @@ def sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0]).reshape(-1)[:1]
 
 
-def time_scan(step, carry0, n_iter: int, label: str, reps: int = 3) -> float:
-    """Min wall of a jitted scan of n_iter carry->carry evals, per-eval ms."""
+def time_scan(step, params, carry0, n_iter: int, label: str, reps: int = 3) -> float:
+    """Min wall of a jitted scan of n_iter carry->carry evals, per-eval ms.
+
+    ``params`` MUST be a jit argument, not a closure capture: captured
+    params lower as multi-GB program constants and the remote compile
+    tunnel chokes shipping them (measured: 3.35 GB -> broken pipe)."""
 
     @jax.jit
-    def scanned(carry0):
+    def scanned(params, carry0):
         def body(c, _):
-            return step(c), None
+            return step(params, c), None
 
         out, _ = jax.lax.scan(body, carry0, None, length=n_iter)
         return out
 
-    out = scanned(carry0)  # compile + warm
+    out = scanned(params, carry0)  # compile + warm
     sync(out)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = scanned(carry0)
+        out = scanned(params, carry0)
         sync(out)
         times.append(time.perf_counter() - t0)
     ms = min(times) / n_iter * 1e3
@@ -101,11 +105,11 @@ def main():
     c = jnp.zeros((B, 1, cfg.context_dim), jnp.float32)
     params = jax.jit(unet.init)(jax.random.key(0), x, t, c)
 
-    def step_full(x8):
-        out = unet.apply(params, x8, t, c)  # [B, L, L, 4]
+    def step_full(p, x8):
+        out = unet.apply(p, x8, t, c)  # [B, L, L, 4]
         return jnp.concatenate([out, out], axis=-1)  # recycle as 8-ch input
 
-    ms_full = time_scan(step_full, x, 20, "full_unet_b56")
+    ms_full = time_scan(step_full, params, x, 20, "full_unet_b56")
 
     def eval_full(params, t, c, x):
         return unet.apply(params, x, t, c)
@@ -131,11 +135,11 @@ def main():
     unet_nf, _ = build_unet(attn=False)
     params_nf = jax.jit(unet_nf.init)(jax.random.key(0), x, t, c)
 
-    def step_nf(x8):
-        out = unet_nf.apply(params_nf, x8, t, c)
+    def step_nf(p, x8):
+        out = unet_nf.apply(p, x8, t, c)
         return jnp.concatenate([out, out], axis=-1)
 
-    ms_nf = time_scan(step_nf, x, 20, "attn_free_unet_b56")
+    ms_nf = time_scan(step_nf, params_nf, x, 20, "attn_free_unet_b56")
     print(json.dumps({"component": "attention_share",
                       "ms": round(ms_full - ms_nf, 2),
                       "frac": round(1 - ms_nf / ms_full, 3)}), flush=True)
@@ -161,9 +165,9 @@ def main():
         m1, m2 = ConvOnly(), GnSiluConv()
         p1 = jax.jit(m1.init)(jax.random.key(0), h0)
         p2 = jax.jit(m2.init)(jax.random.key(0), h0)
-        a = time_scan(lambda h: m1.apply(p1, h), h0, 50,
+        a = time_scan(lambda p, h: m1.apply(p, h), p1, h0, 50,
                       f"conv_only_{chn}x{hw}")
-        b = time_scan(lambda h: m2.apply(p2, h).astype(jnp.bfloat16), h0, 50,
+        b = time_scan(lambda p, h: m2.apply(p, h).astype(jnp.bfloat16), p2, h0, 50,
                       f"gn_silu_conv_{chn}x{hw}")
         print(json.dumps({"component": f"gn_silu_overhead_{chn}x{hw}",
                           "ms": round(b - a, 3),

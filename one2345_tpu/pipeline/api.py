@@ -46,7 +46,15 @@ class One2345Service:
                    ).astype(np.uint8)
         else:
             rgb = arr.copy()
-        x0, y0, x1, y1 = img_utils.estimate_bbox(rgb)
+        # prefer SAM's own object proposal (the demo seeds its sliders from
+        # rembg, app.py:418); saliency fallback when SAM is off/degenerate
+        box = None
+        if self.pipeline.use_sam:
+            try:
+                box = self.pipeline.sam.seed_bbox(self.pipeline.sam.set_image(rgb))
+            except Exception:
+                box = None
+        x0, y0, x1, y1 = box if box is not None else img_utils.estimate_bbox(rgb)
         preview = rgb.copy()
         color = np.array([88, 191, 131], np.uint8)  # app.py:398 box color
         t = max(2, max(preview.shape) // 200)
