@@ -50,6 +50,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--mesh_resolution", type=int, default=256)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--sam", action="store_true",
+                   help="also time SAM ViT-H preprocessing (encode + "
+                        "seed/final decodes at 1024^2, as in bench.py)")
     args = p.parse_args(argv)
 
     import jax
@@ -60,7 +63,7 @@ def main(argv=None):
     from one2345_tpu.pipeline.runner import One2345Pipeline
 
     cfg = PipelineConfig()
-    pipe = One2345Pipeline(cfg, use_sam=False)
+    pipe = One2345Pipeline(cfg, use_sam=args.sam)
 
     rng = np.random.default_rng(0)
     size = cfg.diffusion.image_size
@@ -75,6 +78,16 @@ def main(argv=None):
     def emit(stage, best, mean, **extra):
         print(json.dumps({"stage": stage, "best_s": round(best, 4),
                           "mean_s": round(mean, 4), **extra}), flush=True)
+
+    # SAM preprocessing (raw 512^2 -> segmented/recentered 256^2)
+    if args.sam:
+        raw = np.full((512, 512, 3), 255, np.uint8)
+        raw[128:384, 128:384] = rng.uniform(40, 200, (256, 256, 3)).astype(np.uint8)
+
+        def run_pre():
+            pipe.preprocess(raw, safety_check=False)
+
+        emit("preprocess_sam", *span(run_pre, args.repeats))
 
     # stage 1 (one 4-view ring, 77 DDIM steps)
     s1 = None
