@@ -61,9 +61,20 @@ def phase_download(ckpt_dir: str, skip: bool) -> dict | None:
 
 
 def phase_convert(paths: dict, params_dir: str) -> str | None:
-    if os.path.isdir(params_dir) and os.listdir(params_dir):
-        print(f"[2/4] convert: {params_dir} already populated")
-        return params_dir
+    # skip only when a previous convert covered the SAME checkpoint set —
+    # a partial tree (some ckpts arrived later, or convert crashed midway)
+    # must NOT mask the new files, or the "golden" run silently validates
+    # random weights for the missing modules
+    # sibling of the orbax dir: a stray file inside would confuse restore,
+    # and convert_cli's force-save would wipe it
+    manifest = params_dir.rstrip("/") + ".manifest.json"
+    want = sorted(paths)
+    if os.path.isfile(manifest) and os.path.isdir(params_dir):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                print(f"[2/4] convert: {params_dir} already covers {want}")
+                return params_dir
+        print("[2/4] convert: checkpoint set changed — reconverting")
     from one2345_tpu.utils import convert_cli
 
     argv = ["--out", params_dir]
@@ -79,6 +90,8 @@ def phase_convert(paths: dict, params_dir: str) -> str | None:
         print("[2/4] convert: no checkpoints to convert")
         return None
     convert_cli.main(argv)
+    with open(manifest, "w") as f:
+        json.dump(want, f)
     return params_dir
 
 

@@ -124,8 +124,11 @@ def main(argv=None):
           f"(elevation {90 - polar:.0f})")
 
     # --------------------------------- 4. stage-1 second elevation ring
-    # ring choice depends on the estimate (run.py:40-44)
-    second = [4, 5, 6, 7] if polar <= 75 else [8, 9, 10, 11]
+    # ring choice depends on the estimate (run.py:40-44) — reuse the
+    # pipeline's own plan so the tutorial can't drift from production
+    from one2345_tpu.pipeline.runner import select_stage1b_plan
+
+    _, _, second = select_stage1b_plan(polar, 1)
     s1_second = pipe.zero123.stage1(input_img, jax.random.fold_in(k1, 1), indices=second)
     import jax.numpy as jnp
 

@@ -78,14 +78,20 @@ def load() -> ctypes.CDLL | None:
         # build directly instead of repeating this failed-load + rebuild
         # cycle.  The stale _SO is mapped in THIS process (its dlopen
         # succeeded; only symbol binding failed), so don't truncate it in
-        # place — build a sibling and rename over it (the mapped inode
-        # survives the rename).  Also drop the per-PID temp file at exit.
+        # place — COPY the just-built temp library to a per-PID sibling
+        # (no second g++ run, no shared ".new" path for concurrently
+        # recovering processes to trample) and atomically rename it over
+        # _SO.  Also drop the per-PID temp file at exit.
         import atexit
+        import shutil
 
-        repaired = build(force=True, out=_SO + ".new")
-        if repaired is not None:
+        sibling = f"{_SO}.new.{os.getpid()}"
+        try:
+            shutil.copyfile(tmp, sibling)
+            os.replace(sibling, _SO)
+        except OSError:
             try:
-                os.replace(repaired, _SO)
+                os.path.exists(sibling) and os.unlink(sibling)
             except OSError:
                 pass
         atexit.register(lambda p=tmp: os.path.exists(p) and os.unlink(p))

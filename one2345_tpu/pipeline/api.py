@@ -51,8 +51,16 @@ class One2345Service:
         box = None
         if self.pipeline.use_sam:
             try:
+                # set_image memoizes by content: the follow-up /preprocess
+                # on the same thumb reuses this encoding
                 box = self.pipeline.sam.seed_bbox(self.pipeline.sam.set_image(rgb))
-            except Exception:
+            except Exception as e:  # noqa: BLE001 — degrade, but loudly
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "SAM bbox seeding failed (%s: %s); using saliency fallback",
+                    type(e).__name__, e,
+                )
                 box = None
         x0, y0, x1, y1 = box if box is not None else img_utils.estimate_bbox(rgb)
         preview = rgb.copy()

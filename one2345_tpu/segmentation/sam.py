@@ -323,24 +323,20 @@ class SamStage:
         }
         return {"encoder": enc_vars, "decoder": dec_vars, "extra": extra}
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _predict(self, params, image, box):
-        c = self.config
-        emb = self.encoder.apply(params["encoder"], image[None])  # [1,64,64,256]
-        pe_g = params["extra"]["pe_gaussian"]
-        grid = c.image_size // c.patch_size
-        image_pe = position_encoding_grid(pe_g, grid)[None]
-        corners = box.reshape(2, 2)
-        sparse = encode_point(pe_g, corners, float(c.image_size))
-        sparse = sparse + params["extra"]["box_embed"]
-        masks, iou = self.decoder.apply(params["decoder"], emb, image_pe, sparse[None])
-        return masks[0], iou[0]
-
     # --- SamPredictor-style cached interface (set_image once, many prompts)
     def set_image(self, image: np.ndarray) -> dict:
         """Encode an image once; returns a cache for repeated prompts
-        (SamPredictor.set_image semantics)."""
+        (SamPredictor.set_image semantics).  The last encoding is memoized
+        by image content, so the demo flow init_bbox -> preprocess (which
+        both encode the same 512-thumb) pays the ~0.5 s ViT-H encoder
+        once, not twice."""
         import cv2
+        import hashlib
+
+        digest = hashlib.sha1(np.ascontiguousarray(image)).hexdigest()
+        memo = getattr(self, "_set_image_memo", None)
+        if memo is not None and memo[0] == (digest, image.shape):
+            return memo[1]
 
         H, W = image.shape[:2]
         size = self.config.image_size
@@ -351,7 +347,9 @@ class SamStage:
         padded = np.zeros((size, size, 3), np.float32)
         padded[:nh, :nw] = x
         emb = self._encode(self.params, jnp.asarray(padded))
-        return {"embedding": emb, "scale": scale, "hw": (H, W), "nhw": (nh, nw)}
+        cache = {"embedding": emb, "scale": scale, "hw": (H, W), "nhw": (nh, nw)}
+        self._set_image_memo = ((digest, image.shape), cache)
+        return cache
 
     @functools.partial(jax.jit, static_argnums=0)
     def _encode(self, params, image):
@@ -404,22 +402,5 @@ class SamStage:
     def segment_bbox(self, image: np.ndarray, bbox) -> np.ndarray:
         """:param image: [H, W, 3] uint8; :param bbox: (x0, y0, x1, y1)
         :return: [H, W] bool foreground mask (third multimask output,
-        sam_utils.py:35)."""
-        H, W = image.shape[:2]
-        size = self.config.image_size
-        scale = size / max(H, W)
-        nh, nw = int(H * scale + 0.5), int(W * scale + 0.5)
-        import cv2
-
-        resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        x = (resized.astype(np.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
-        padded = np.zeros((size, size, 3), np.float32)
-        padded[:nh, :nw] = x
-        box = np.asarray(bbox, np.float32) * scale
-
-        masks, iou = self._predict(self.params, jnp.asarray(padded), jnp.asarray(box))
-        # low-res 256 masks -> full res; take the last (index -1) mask
-        m = np.asarray(masks[-1], np.float32)
-        m = cv2.resize(m, (size, size))[:nh, :nw]
-        m = cv2.resize(m, (W, H))
-        return m > 0.0
+        sam_utils.py:35).  One-shot convenience over the cached pair."""
+        return self.predict_box(self.set_image(image), bbox)

@@ -66,7 +66,20 @@ def download_one(name: str, out_dir: str, timeout: float = 30.0) -> str:
     if os.path.isfile(dest) and os.path.getsize(dest) >= min_mb << 20:
         return dest
 
+    def promote() -> str:
+        size = os.path.getsize(part)
+        os.replace(part, dest)
+        digest = _sha256(dest)
+        with open(dest + ".sha256", "w") as f:
+            f.write(f"{digest}  {name}\n")
+        print(f"{name}: {size / 1e6:.1f} MB sha256={digest}")
+        return dest
+
     start = os.path.getsize(part) if os.path.isfile(part) else 0
+    if start >= min_mb << 20:
+        # a previous run finished the write loop but died before the
+        # rename — requesting Range: bytes=<full size>- would get HTTP 416
+        return promote()
     req = urllib.request.Request(url)
     if start:
         req.add_header("Range", f"bytes={start}-")
@@ -88,16 +101,14 @@ def download_one(name: str, out_dir: str, timeout: float = 30.0) -> str:
 
     size = os.path.getsize(part)
     if size < min_mb << 20:
+        # drop the garbage NOW: resuming from an HTML error page would
+        # append real bytes after it and promote a corrupt checkpoint
+        os.unlink(part)
         raise DownloadError(
             f"{name}: got {size / 1e6:.1f} MB, expected >= {min_mb} MB — "
             f"the server likely returned an error page, not weights"
         )
-    os.replace(part, dest)
-    digest = _sha256(dest)
-    with open(dest + ".sha256", "w") as f:
-        f.write(f"{digest}  {name}\n")
-    print(f"{name}: {size / 1e6:.1f} MB sha256={digest}")
-    return dest
+    return promote()
 
 
 def download_all(out_dir: str, names=None) -> dict[str, str]:
