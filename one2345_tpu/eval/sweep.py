@@ -98,7 +98,10 @@ def run_sweep(
     n_points: int = 16384,
     threshold: float = 0.05,
     render_dir: str | None = None,
+    clip_scorer=None,
 ) -> dict:
+    """:param clip_scorer: optional `eval.clip_metric.ClipScorer` — adds
+    the paper's third metric (24-view CLIP similarity) per mesh pair."""
     from one2345_tpu.eval.metrics import evaluate_mesh_pair
 
     pairs = discover_pairs(pred_dir, gt_dir)
@@ -108,12 +111,17 @@ def run_sweep(
         gv, gf = load_mesh(gpath)
         m = evaluate_mesh_pair(pv, pf, gv, gf, n_points=n_points,
                                fscore_threshold=threshold)
+        if clip_scorer is not None:
+            m["clip_sim"] = clip_scorer.similarity((pv, pf), (gv, gf))
         rows.append({"name": key, "pred": ppath, "gt": gpath, **m})
         if render_dir:
             _save_renders(key, pv, pf, render_dir)
     summary = {}
     if rows:
-        for metric in ("chamfer_l2", "chamfer_l1", "f_score"):
+        metrics = ["chamfer_l2", "chamfer_l1", "f_score"]
+        if clip_scorer is not None:
+            metrics.append("clip_sim")
+        for metric in metrics:
             summary[metric] = float(np.mean([r[metric] for r in rows]))
     return {
         "n_pairs": len(rows),
@@ -149,10 +157,27 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=0.05)
     p.add_argument("--render_dir", default=None,
                    help="save 24-view eval renders per prediction")
+    p.add_argument("--clip_params", default=None, nargs="?", const="",
+                   help="add the 24-view CLIP-similarity metric; pass an "
+                        "orbax dir from convert_cli for real ViT-L/14 "
+                        "weights (bare flag = random weights, protocol "
+                        "check only)")
     args = p.parse_args(argv)
 
+    clip_scorer = None
+    if args.clip_params is not None:
+        from one2345_tpu.eval.clip_metric import ClipScorer
+
+        params = None
+        if args.clip_params:
+            from one2345_tpu.core import checkpoint
+
+            tree = checkpoint.restore(args.clip_params)
+            params = tree.get("zero123", tree).get("clip")
+        clip_scorer = ClipScorer(params)
+
     table = run_sweep(args.pred_dir, args.gt_dir, args.n_points,
-                      args.threshold, args.render_dir)
+                      args.threshold, args.render_dir, clip_scorer=clip_scorer)
     text = json.dumps(table, indent=2)
     if args.out:
         with open(args.out, "w") as fh:
