@@ -166,6 +166,15 @@ class ReconConfig(_ConfigBase):
     n_rays: int = 512
     anneal_start: int = 0
     anneal_end: int = 25_000
+    # lod1 training (one2345_lod_train.conf:50-51,62; trainer_generic.py
+    # train_step:269-319).  NOTE the reference's get_weight quirk
+    # (trainer_generic.py:1131-1134): for lod==1 the weight ramp runs from
+    # anneal_end_lod1 to 2*anneal_end_lod1 (its start is the END value).
+    anneal_start_lod1: int = 0
+    anneal_end_lod1: int = 15_000
+    # if_fix_lod0_networks: freeze lod0 (stop-gradient, no lod0 loss) and
+    # train only the lod1 branch (trainer_generic.py:191-215,243-245)
+    fix_lod0_networks: bool = False
     sdf_igr_weight: float = 0.1
     sdf_sparse_weight: float = 0.02
     sdf_decay_param: float = 100.0

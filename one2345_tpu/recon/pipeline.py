@@ -112,6 +112,22 @@ class ReconStage:
                 jnp.ones((hx, hy, hz, 1), bool),
                 jnp.zeros((hx, hy, hz, prev_c)),
             )
+            # the reference defines SEPARATE lod1 feature/rendering/variance
+            # networks with identical architecture (one2345_lod_train.conf
+            # rendering_network_lod1 / variance_network_lod1;
+            # pyramid_feature_network_lod1 at trainer_generic.py:63) —
+            # extra parameter trees applied through the same module defs
+            out["fusion_lod1"] = jax.jit(self.fusion.init)(
+                jax.random.fold_in(key, 8), imgs
+            )
+            out["render_lod1"] = jax.jit(self.render_net.init)(
+                jax.random.fold_in(key, 6),
+                jnp.zeros((4, 8, G)),
+                jnp.zeros((V, 4, 8, 3 + F)),
+                jnp.zeros((V, 4, 8, 4)),
+                jnp.ones((V, 4, 8)),
+            )
+            out["variance_lod1"] = self.variance_net.init(jax.random.fold_in(key, 7))
         return out
 
     def _net(self, lod: int):
@@ -140,6 +156,12 @@ class ReconStage:
         net, pkey = self._net(lod)
         sdf, _ = net.apply(params[pkey], pts, volume, method=SdfVolumeNetwork.sdf)
         return sdf[:, 0]
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def feature_maps_lod1(self, params, images):
+        """Separate lod1 pyramid features (obtain_pyramid_feature_maps
+        lod=1, trainer_generic.py:1104-1125)."""
+        return self.fusion.apply(params["fusion_lod1"], images)
 
     @functools.partial(jax.jit, static_argnums=0)
     def conditional_volume_lod1(self, params, feature_maps, projs, pre_mask, pre_feats):
@@ -420,8 +442,13 @@ class ReconStage:
             tuple(self.config.image_hw),
             normals,
         )
+        # lod1 meshes are colored by the SEPARATE lod1 blending net when its
+        # weights exist (validate_colored_mesh uses the lod-matched
+        # rendering_network); converted lod0-only checkpoints fall back to
+        # the shared net (dict structure is static under jit)
+        rkey = "render_lod1" if lod == 1 and "render_lod1" in params else "render"
         colors, _ = self.render_net.apply(
-            params["render"], geo_feat, rgb_feat, ray_diff, mask
+            params[rkey], geo_feat, rgb_feat, ray_diff, mask
         )
         return colors[0]  # [N, 3]
 
@@ -474,6 +501,10 @@ class ReconStage:
                 )
             else:
                 pre_mask = self.prune_occupancy(self.params, volume, mask_volume)
+            # the fine lod has its OWN pyramid feature network; converted
+            # lod0-only checkpoints fall back to the shared one
+            if "fusion_lod1" in self.params:
+                feats = self.feature_maps_lod1(self.params, jnp.asarray(images))
             out1 = self.conditional_volume_lod1(
                 self.params, feats, jnp.asarray(cameras["affines"][src]),
                 pre_mask, volume,

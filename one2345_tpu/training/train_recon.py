@@ -21,6 +21,12 @@ def build_parser():
     p.add_argument("--n_rays", type=int, default=512)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
                    help="conv-path compute dtype (f32 = reference numerics)")
+    p.add_argument("--num_lods", type=int, choices=[1, 2], default=1,
+                   help="2 = coarse-to-fine training with the separate lod1 "
+                        "networks (trainer_generic train_step:269-319)")
+    p.add_argument("--fix_lod0", action="store_true",
+                   help="freeze the lod0 networks and train only lod1 "
+                        "(if_fix_lod0_networks)")
     p.add_argument("--ckpt_every", type=int, default=5000)  # conf save_freq
     p.add_argument("--log_every", type=int, default=100)  # conf report_freq
     p.add_argument("--val_every", type=int, default=0,
@@ -53,7 +59,8 @@ def main(argv=None):
     n_dev = len(jax.devices())
 
     cfg = ReconConfig(learning_rate=args.learning_rate, end_iter=args.max_steps,
-                      n_rays=args.n_rays, dtype=args.dtype)
+                      n_rays=args.n_rays, dtype=args.dtype,
+                      num_lods=args.num_lods, fix_lod0_networks=args.fix_lod0)
     params = checkpoint.restore(args.init_params) if args.init_params else None
     stage = ReconStage(cfg, params)
     trainer = ReconTrainer(stage, cfg)

@@ -563,12 +563,26 @@ def convert_recon(ckpt: dict, num_sdf_layers: int = 4, offset_order: str = "zyx"
 
     ``ckpt`` is the torch checkpoint dict with keys sdf_network_lod0,
     rendering_network_lod0, variance_network_lod0,
-    pyramid_feature_network_lod0 (state dicts each).
+    pyramid_feature_network_lod0 (state dicts each).  Checkpoints trained
+    with num_lods=2 (exp_runner load/save at val.py:435-512) additionally
+    carry the *_lod1 groups; those land under the matching ``*_lod1``
+    parameter trees (ReconStage.init_params).
     """
+    out = _convert_recon_lod(ckpt, "lod0", num_sdf_layers, offset_order)
+    if "sdf_network_lod1" in ckpt:
+        lod1 = _convert_recon_lod(ckpt, "lod1", num_sdf_layers, offset_order)
+        out.update({f"{k}_lod1": v for k, v in lod1.items()})
+    return out
+
+
+def _convert_recon_lod(
+    ckpt: dict, lod: str, num_sdf_layers: int, offset_order: str
+) -> dict:
+    """One lod's four network groups -> {fusion, sdf, render, variance}."""
     out: dict = {}
 
-    # ---- FeatureNet FPN (pyramid_feature_network_lod0)
-    fp = ckpt["pyramid_feature_network_lod0"]
+    # ---- FeatureNet FPN (pyramid_feature_network_<lod>)
+    fp = ckpt[f"pyramid_feature_network_{lod}"]
     fpn_p: dict = {}
     fpn_s: dict = {}
     cba = 0
@@ -585,8 +599,8 @@ def convert_recon(ckpt: dict, num_sdf_layers: int = 4, offset_order: str = "zyx"
         "batch_stats": {"fpn": fpn_s},
     }
 
-    # ---- SdfVolumeNetwork (sdf_network_lod0)
-    sd = ckpt["sdf_network_lod0"]
+    # ---- SdfVolumeNetwork (sdf_network_<lod>)
+    sd = ckpt[f"sdf_network_{lod}"]
     sdf_p: dict = {}
     sdf_s: dict = {}
     p, s = _convbn(sd, "compress_layer.conv", "compress_layer.bn")
@@ -622,8 +636,8 @@ def convert_recon(ckpt: dict, num_sdf_layers: int = 4, offset_order: str = "zyx"
     }
     out["sdf"] = {"params": sdf_p, "batch_stats": sdf_s}
 
-    # ---- GeneralRenderingNetwork (rendering_network_lod0)
-    rn = ckpt["rendering_network_lod0"]
+    # ---- GeneralRenderingNetwork (rendering_network_<lod>)
+    rn = ckpt[f"rendering_network_{lod}"]
     render_p = {
         "s": _np(rn["s"]).reshape(()),
         "ray_dir_fc0": _lin(rn, "ray_dir_fc.0"),
@@ -641,6 +655,6 @@ def convert_recon(ckpt: dict, num_sdf_layers: int = 4, offset_order: str = "zyx"
     out["render"] = {"params": render_p}
 
     # ---- SingleVarianceNetwork
-    vn = ckpt["variance_network_lod0"]
+    vn = ckpt[f"variance_network_{lod}"]
     out["variance"] = {"params": {"variance": _np(vn["variance"]).reshape(())}}
     return out

@@ -156,3 +156,43 @@ def test_recon_converter_structure():
     extra = _paths(out) - _paths(ours)
     assert not missing, sorted(missing)[:10]
     assert not extra, sorted(extra)[:10]
+
+
+def test_recon_converter_lod1_structure():
+    """num_lods=2 checkpoints: the *_lod1 network groups land on the
+    separate lod1 parameter trees (ReconStage.init_params)."""
+    from one2345_tpu.core.config import ReconConfig
+    from one2345_tpu.recon.pipeline import ReconStage
+
+    cfg = ReconConfig(
+        vol_dims=(8, 8, 8), voxel_size=2.0 / 7.0, image_hw=(32, 32),
+        num_lods=2, lod1_vol_dims=(16, 16, 16), lod1_voxel_size=2.0 / 15.0,
+        lod1_d_compress=8,
+    )
+    stage = ReconStage(cfg, seed=0)
+
+    class FakeReconSD(FakeSD):
+        def __getitem__(self, key):
+            self.read.add(key)
+            if "sparse_costreg_net" in key and ".net.0" in key:
+                return np.zeros((27, 4, 4), np.float32)
+            if key in ("variance", "s"):
+                return np.zeros((), np.float32)
+            if key.endswith("weight_g"):
+                return np.zeros((4, 1), np.float32)
+            return np.zeros((6, 4, 4, 4), np.float32)
+
+    ckpt = {
+        f"{g}_{lod}": FakeReconSD()
+        for g in ("pyramid_feature_network", "sdf_network",
+                  "rendering_network", "variance_network")
+        for lod in ("lod0", "lod1")
+    }
+    out = cw.convert_recon(ckpt)
+    keys = ("fusion", "sdf", "render", "variance",
+            "fusion_lod1", "sdf_lod1", "render_lod1", "variance_lod1")
+    ours = {k: stage.params[k] for k in keys}
+    missing = _paths(ours) - _paths(out)
+    extra = _paths(out) - _paths(ours)
+    assert not missing, sorted(missing)[:10]
+    assert not extra, sorted(extra)[:10]

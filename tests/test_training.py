@@ -196,3 +196,124 @@ def test_recon_sharded_train_step():
     state2, metrics = step_fn(state, scenes, jax.random.key(0))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def _tiny_lod1_setup(fix_lod0: bool = False):
+    """Tiny two-lod trainer + one synthetic scene (coarse 8^3, fine 16^3)."""
+    import jax.numpy as jnp
+
+    from one2345_tpu.core.config import ReconConfig
+    from one2345_tpu.geometry.cameras import BLENDER2OPENCV, spherical_look_at_poses
+    from one2345_tpu.recon.pipeline import ReconStage
+    from one2345_tpu.training.recon_trainer import ReconTrainer
+
+    cfg = ReconConfig(
+        image_hw=(32, 32),
+        vol_dims=(8, 8, 8),
+        voxel_size=2.0 / 7.0,
+        num_lods=2,
+        lod1_vol_dims=(16, 16, 16),
+        lod1_voxel_size=2.0 / 15.0,
+        lod1_d_compress=8,
+        # random-init SDF has no tight surface shell; a loose threshold
+        # keeps the pruned occupancy nonempty on the 8^3 coarse grid
+        lod1_prune_threshold=0.5,
+        n_samples=8,
+        n_importance=8,
+        n_rays=8,
+        anneal_end=100,
+        anneal_end_lod1=50,
+        fix_lod0_networks=fix_lod0,
+    )
+    stage = ReconStage(cfg, seed=0)
+    trainer = ReconTrainer(stage, cfg)
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    V, H, W, N = 3, 32, 32, 8
+    poses = spherical_look_at_poses(
+        np.radians([60.0, 70, 80]), np.radians([0.0, 120, 240]), radius=1.8
+    )
+    c2ws = poses @ BLENDER2OPENCV
+    w2cs = np.linalg.inv(c2ws)
+    K = np.array([[35.0, 0, 16.0], [0, 35.0, 16.0], [0, 0, 1.0]])
+    affines = np.tile(np.eye(4)[None], (V, 1, 1))
+    affines[:, :3, :4] = np.einsum("ij,vjk->vik", K, w2cs[:, :3, :4])
+
+    rays_o = np.tile(c2ws[0, :3, 3][None], (N, 1))
+    dirs = -c2ws[0, :3, 3]
+    dirs = dirs / np.linalg.norm(dirs)
+    rays_v = np.tile(dirs[None], (N, 1)) + rng.normal(0, 0.01, (N, 3))
+    rays_v /= np.linalg.norm(rays_v, axis=-1, keepdims=True)
+
+    scenes = {
+        "images": rng.uniform(size=(1, V, H, W, 3)).astype(np.float32),
+        "affines": affines[None].astype(np.float32),
+        "w2cs": w2cs[None].astype(np.float32),
+        "intrinsics": np.tile(K[None, None], (1, V, 1, 1)).astype(np.float32),
+        "near_far": np.array([[0.8, 2.8]], np.float32),
+        "rays_o": rays_o[None].astype(np.float32),
+        "rays_v": rays_v[None].astype(np.float32),
+        "rays_color": rng.uniform(size=(1, N, 3)).astype(np.float32),
+        "rays_mask": np.ones((1, N, 1), np.float32),
+    }
+    scenes = {k: jnp.asarray(v) for k, v in scenes.items()}
+    return trainer, state, scenes
+
+
+def test_recon_lod1_train_step():
+    """Two-lod training (trainer_generic.py train_step:269-319): the lod1
+    branch prunes the coarse occupancy, builds the fine volume on the
+    SEPARATE lod1 networks, and its loss trains their parameters."""
+    import jax
+
+    trainer, state, scenes = _tiny_lod1_setup()
+    for k in ("sdf_lod1", "fusion_lod1", "render_lod1", "variance_lod1"):
+        assert k in state.params, k
+
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    before_stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    state2, metrics = trainer.train_step(state, scenes, jax.random.key(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # both lod losses are reported and the total is their sum
+    for k in ("color_loss", "color_loss_lod1", "psnr_lod1", "eikonal_lod1"):
+        assert k in metrics, k
+    # every lod1 network moved
+    for k in ("sdf_lod1", "fusion_lod1", "render_lod1", "variance_lod1"):
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+            before[k], state2.params[k],
+        )
+        assert max(jax.tree_util.tree_leaves(d)) > 0, k
+    # lod1 BN running stats moved (separate fusion/costreg nets)
+    for k in ("sdf_lod1", "fusion_lod1"):
+        ds = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+            before_stats[k], state2.batch_stats[k],
+        )
+        assert max(jax.tree_util.tree_leaves(ds)) > 0, k
+
+
+def test_recon_lod1_fix_lod0():
+    """fix_lod0_networks freezes the coarse lod (trainer_generic.py:191-215):
+    lod0 parameters stay bit-identical while lod1 still trains, and no lod0
+    loss is reported."""
+    import jax
+
+    trainer, state, scenes = _tiny_lod1_setup(fix_lod0=True)
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state2, metrics = trainer.train_step(state, scenes, jax.random.key(1))
+    assert "color_loss" not in metrics  # lod0 loss skipped
+    assert "color_loss_lod1" in metrics
+    for k in ("fusion", "sdf", "render", "variance"):
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+            before[k], state2.params[k],
+        )
+        assert max(jax.tree_util.tree_leaves(d)) == 0, k
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+        before["sdf_lod1"], state2.params["sdf_lod1"],
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
