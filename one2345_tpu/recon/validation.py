@@ -25,26 +25,29 @@ class Validator:
         self.stage = stage
         self.chunk = n_rays_chunk
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=(0, 13))
     def _render_chunk(
         self, params, rays_o, rays_d, near, far, volume, mask_volume,
-        feats, colors, w2cs, intrinsics, query_cam_center,
+        feats, colors, w2cs, intrinsics, query_cam_center, lod: int = 0,
     ):
         st = self.stage
         cfg = st.config
+        net, pkey = st._net(lod)
+        rkey = "render_lod1" if lod == 1 and "render_lod1" in params else "render"
+        vkey = "variance_lod1" if lod == 1 and "variance_lod1" in params else "variance"
 
         def sdf_fn(pts):
-            return st.sdf_net.apply(params["sdf"], pts, volume, method=SdfVolumeNetwork.sdf)
+            return net.apply(params[pkey], pts, volume, method=SdfVolumeNetwork.sdf)
 
         def sdf_grad_fn(pts):
-            return st.sdf_net.apply(
-                params["sdf"], pts, volume, method=SdfVolumeNetwork.sdf_and_gradient
+            return net.apply(
+                params[pkey], pts, volume, method=SdfVolumeNetwork.sdf_and_gradient
             )
 
         def render_net_fn(geo, rgb, rd, m):
-            return st.render_net.apply(params["render"], geo, rgb, rd, m)
+            return st.render_net.apply(params[rkey], geo, rgb, rd, m)
 
-        inv_var = st.variance_net.apply(params["variance"])
+        inv_var = st.variance_net.apply(params[vkey])
         out = render_rays(
             sdf_fn, sdf_grad_fn, render_net_fn, inv_var,
             rays_o, rays_d, near, far, volume, mask_volume,
@@ -64,12 +67,15 @@ class Validator:
 
     def render_view(
         self, images, cameras, view_idx: int = 0, H: int = 256, W: int = 256,
+        lod: int = 0,
     ) -> dict:
         """Render the query view of a scene -> color/depth/normal images +
         PSNR vs the reference image.
 
         :param images: [V_src, H, W, 3] source views (cameras index 1..V)
         :param cameras: build_recon_cameras pack
+        :param lod: 1 renders the fine lod (coarse-pruned 192^3 volume on
+            the separate lod1 networks — val_step's num_lods=2 path)
         """
         st = self.stage
         params = st.params
@@ -77,6 +83,15 @@ class Validator:
         feats = st.feature_maps(params, jnp.asarray(images))
         vol = st.conditional_volume(params, feats, jnp.asarray(cameras["affines"][src]))
         volume, mask_volume = vol["volume"], vol["mask"]
+        if lod == 1:
+            assert st.sdf_net_lod1 is not None, "stage built with num_lods=1"
+            pre_mask = st.prune_occupancy(params, volume, mask_volume)
+            if "fusion_lod1" in params:
+                feats = st.feature_maps_lod1(params, jnp.asarray(images))
+            out1 = st.conditional_volume_lod1(
+                params, feats, jnp.asarray(cameras["affines"][src]), pre_mask, volume
+            )
+            volume, mask_volume = out1["volume"], out1["mask"]
 
         K = jnp.asarray(cameras["intrinsics"][view_idx])
         c2w = jnp.asarray(cameras["c2ws"][view_idx])
@@ -93,7 +108,7 @@ class Validator:
                 params, ro[i : i + self.chunk], rd[i : i + self.chunk],
                 jnp.asarray(near), jnp.asarray(far), volume, mask_volume,
                 feats, jnp.asarray(images), jnp.asarray(cameras["w2cs"][src]),
-                jnp.asarray(cameras["intrinsics"][src]), c2w[:3, 3],
+                jnp.asarray(cameras["intrinsics"][src]), c2w[:3, 3], lod,
             )
             for k in outs:
                 outs[k].append(np.asarray(out[k], np.float32))

@@ -106,15 +106,18 @@ def main(argv=None):
             if validator is None:
                 validator = Validator(stage)
             sc = ds.load_scene(0)
-            res = validator.render_view(sc["images"][1:], sc["cameras"])
-            val_psnr = Validator.psnr(res["color"], sc["images"][0])
-            panel = Validator.panel(res, sc["images"][0])
             os.makedirs(f"{args.exp_dir}/val", exist_ok=True)
-            PILImage.fromarray((np.clip(panel, 0, 1) * 255).astype(np.uint8)).save(
-                f"{args.exp_dir}/val/step_{step_idx:06d}.png"
-            )
-            logger.log(step_idx, val_psnr=float(val_psnr))
-            print(f"val step {step_idx}: psnr={val_psnr:.2f}", flush=True)
+            lods = range(args.num_lods)  # val_step renders every lod
+            for lod in lods:
+                res = validator.render_view(sc["images"][1:], sc["cameras"], lod=lod)
+                val_psnr = Validator.psnr(res["color"], sc["images"][0])
+                panel = Validator.panel(res, sc["images"][0])
+                suffix = "" if lod == 0 else f"_lod{lod}"
+                PILImage.fromarray(
+                    (np.clip(panel, 0, 1) * 255).astype(np.uint8)
+                ).save(f"{args.exp_dir}/val/step_{step_idx:06d}{suffix}.png")
+                logger.log(step_idx, **{f"val_psnr{suffix}": float(val_psnr)})
+                print(f"val step {step_idx}: psnr{suffix}={val_psnr:.2f}", flush=True)
         if step_idx % args.log_every == 0:
             m = {k2: float(v) for k2, v in metrics.items()}
             m["steps_per_sec"] = args.log_every / max(time.time() - t0, 1e-9)
