@@ -343,17 +343,28 @@ class SamStage:
         scale = size / max(H, W)
         nh, nw = int(H * scale + 0.5), int(W * scale + 0.5)
         resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        x = (resized.astype(np.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
-        padded = np.zeros((size, size, 3), np.float32)
-        padded[:nh, :nw] = x
-        emb = self._encode(self.params, jnp.asarray(padded))
+        # upload uint8 (3 MB), normalize + zero-pad ON DEVICE: the f32
+        # 1024^2 frame is 12.6 MB over the ~43-95 MB/s host->device
+        # tunnel — the upload, not the ViT, dominated set_image
+        padded = np.zeros((size, size, 3), np.uint8)
+        padded[:nh, :nw] = np.clip(resized, 0, 255).astype(np.uint8)
+        emb = self._encode(
+            self.params, jnp.asarray(padded), jnp.int32(nh), jnp.int32(nw)
+        )
         cache = {"embedding": emb, "scale": scale, "hw": (H, W), "nhw": (nh, nw)}
         self._set_image_memo = ((digest, image.shape), cache)
         return cache
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _encode(self, params, image):
-        return self.encoder.apply(params["encoder"], image[None])
+    def _encode(self, params, image_u8, nh, nw):
+        size = self.config.image_size
+        x = (image_u8.astype(jnp.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+        # SAM pads with zeros AFTER normalization (ResizeLongestSide +
+        # preprocess) — mask the pad region rather than padding on host
+        rows = jnp.arange(size)[:, None, None]
+        cols = jnp.arange(size)[None, :, None]
+        x = x * ((rows < nh) & (cols < nw))
+        return self.encoder.apply(params["encoder"], x[None])
 
     @functools.partial(jax.jit, static_argnums=0)
     def _decode(self, params, embedding, box):
