@@ -107,6 +107,10 @@ class DiffusionConfig(_ConfigBase):
     ddim_steps_stage1: int = 75
     ddim_steps_stage2: int = 50
     ddim_eta: float = 1.0
+    # 'ddim' (reference semantics) | 'plms' | 'dpmpp' (DPM-Solver++(2M)
+    # fast mode — pair with reduced step counts, e.g. 30/25; see
+    # diffusion/dpm_solver.py for the quality caveat)
+    sampler: str = "ddim"
     cfg_scale: float = 3.0
     image_size: int = 256
     latent_size: int = 32

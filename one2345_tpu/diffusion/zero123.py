@@ -179,13 +179,15 @@ class Zero123Stage:
         key,
         steps: int | None = None,
         cfg_scale: float | None = None,
-        sampler: str = "ddim",
+        sampler: str | None = None,
         noise_ids=None,
     ) -> jnp.ndarray:
         """Generate B novel views in one scan.  Returns [B, 256, 256, 3] in [0,1].
 
-        :param sampler: 'ddim' (default, eta from config) or 'plms'
-            (eta=0 multistep — the reference's alternative sampler).
+        :param sampler: 'ddim' (default, eta from config), 'plms'
+            (eta=0 multistep — the reference's alternative sampler), or
+            'dpmpp' (DPM-Solver++(2M) fast mode, diffusion/dpm_solver.py —
+            pair with reduced step counts).  None -> config.sampler.
         :param noise_ids: optional int per view — every view's init/loop
             noise is `fold_in(key, id)`-derived, so the SAME (key, id)
             yields the SAME image regardless of batch position, batch size,
@@ -221,13 +223,15 @@ class Zero123Stage:
             cond_images = jax.device_put(cond_images, data)
             T = jax.device_put(T, data)
             noise_ids = jax.device_put(noise_ids, data)
-        if sampler == "plms":
+        sampler = sampler or getattr(self.config, "sampler", "ddim")
+        if sampler in ("plms", "dpmpp"):
             sched = make_ddim_schedule(
                 steps, self.config.timesteps, 0.0,
                 self.config.linear_start, self.config.linear_end,
             )
-            out = self._sample_views_plms_jit(
-                self.params, cond_images, T, key, noise_ids, sched, cfg_scale
+            out = self._sample_views_multistep_jit(
+                self.params, cond_images, T, key, noise_ids, sched,
+                cfg_scale=cfg_scale, sampler=sampler,
             )
         else:
             sched = self._schedule(steps)
@@ -246,8 +250,14 @@ class Zero123Stage:
 
         return jax.vmap(one)(noise_ids)
 
-    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cfg_scale",))
-    def _sample_views_plms_jit(self, params, cond_images, T, key, noise_ids, sched, cfg_scale):
+    @functools.partial(
+        jax.jit, static_argnums=(0,), static_argnames=("cfg_scale", "sampler")
+    )
+    def _sample_views_multistep_jit(
+        self, params, cond_images, T, key, noise_ids, sched, cfg_scale,
+        sampler: str = "plms",
+    ):
+        from one2345_tpu.diffusion.dpm_solver import dpmpp_sample
         from one2345_tpu.diffusion.plms import plms_sample
 
         B = cond_images.shape[0]
@@ -266,7 +276,8 @@ class Zero123Stage:
             e_uc, e_c = jnp.split(e, 2, axis=0)
             return e_uc + cfg_scale * (e_c - e_uc)
 
-        x = plms_sample(eps_fn, x, sched)
+        sample = plms_sample if sampler == "plms" else dpmpp_sample
+        x = sample(eps_fn, x, sched)
         imgs = self.decoder.apply(params["decoder"], x / self.scale_factor)
         return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
 

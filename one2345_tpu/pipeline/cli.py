@@ -22,7 +22,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--params", type=str, default=None, help="orbax checkpoint dir with stage params")
     p.add_argument("--no_sam", action="store_true", help="alpha/threshold segmentation instead of SAM")
+    # extensions beyond run.py's flag surface
+    p.add_argument("--sampler", choices=["ddim", "plms", "dpmpp"], default="ddim",
+                   help="dpmpp = DPM-Solver++(2M) fast mode (pair with "
+                        "--steps 30 25; quality unvalidated without real "
+                        "weights — see diffusion/dpm_solver.py)")
+    p.add_argument("--steps", type=int, nargs=2, default=None,
+                   metavar=("S1", "S2"),
+                   help="override stage-1/stage-2 denoising step counts "
+                        "(reference defaults: 75 50)")
     return p
+
+
+def build_config(args):
+    from one2345_tpu.core.config import PipelineConfig
+
+    cfg = PipelineConfig(half_precision=args.half_precision, seed=args.seed)
+    if args.sampler != "ddim" or args.steps:
+        d = cfg.diffusion.replace(sampler=args.sampler)
+        if args.steps:
+            d = d.replace(ddim_steps_stage1=args.steps[0],
+                          ddim_steps_stage2=args.steps[1])
+        cfg = cfg.replace(diffusion=d)
+    return cfg
 
 
 def main(argv=None):
@@ -35,10 +57,9 @@ def main(argv=None):
     import numpy as np
     from PIL import Image
 
-    from one2345_tpu.core.config import PipelineConfig
     from one2345_tpu.pipeline.runner import One2345Pipeline
 
-    cfg = PipelineConfig(half_precision=args.half_precision, seed=args.seed)
+    cfg = build_config(args)
     params = None
     if args.params:
         from one2345_tpu.core import checkpoint

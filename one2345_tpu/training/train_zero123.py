@@ -51,7 +51,9 @@ def log_samples(stage, state, sample_batch, out_path: str, steps: int, seed: int
     cond = jnp.asarray(sample_batch["image_cond"])
     T = jnp.asarray(sample_batch["T"])
     samples = np.asarray(stage._sample_views_jit(
-        params, cond, T, jax.random.key(seed), sched, stage.config.cfg_scale
+        params, cond, T, jax.random.key(seed),
+        jnp.arange(cond.shape[0], dtype=jnp.uint32), sched,
+        cfg_scale=stage.config.cfg_scale,
     ))  # [B, H, W, 3] in [0, 1]
     cond01 = (np.asarray(sample_batch["image_cond"]) + 1.0) / 2.0
     target01 = (np.asarray(sample_batch["image_target"]) + 1.0) / 2.0
