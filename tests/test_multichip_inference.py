@@ -48,6 +48,27 @@ def test_sharded_sampler_pads_uneven_batches():
     assert out.shape == ref.shape  # pad rows removed
 
 
+def test_sharded_sampler_dpmpp_matches_single_device():
+    """The fast-mode sampler goes through the same mesh pad/shard path."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU backend")
+
+    from tests.test_diffusion import tiny_config
+    from one2345_tpu.core.meshes import create_mesh
+    from one2345_tpu.diffusion.zero123 import Zero123Stage
+
+    cfg = tiny_config().replace(sampler="dpmpp")
+    stage = Zero123Stage(cfg, seed=0)
+    img = np.random.default_rng(0).uniform(size=(32, 32, 3)).astype(np.float32)
+    idx = [0, 1, 2, 3]  # uneven on the 8-mesh -> exercises padding too
+    ref = np.asarray(stage.stage1(img, jax.random.key(1), indices=idx, steps=3))
+
+    mesh = create_mesh(("data",))
+    stage_sh = Zero123Stage(cfg, params=stage.params, mesh=mesh)
+    out = np.asarray(stage_sh.stage1(img, jax.random.key(1), indices=idx, steps=3))
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
 def test_select_stage1b_plan():
     """On an 8-chip mesh the 4-view second ring pads to 8 anyway — the plan
     samples BOTH rings (views 4..11) for the same cost and slices the
