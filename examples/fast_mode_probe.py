@@ -1,12 +1,17 @@
-"""Measure the DPM-Solver++(2M) fast mode end-to-end on the TPU.
+"""Measure the opt-in fast modes end-to-end on the TPU.
 
-The reference-semantics bench (bench.py) keeps DDIM 77/50; this probe
-measures the opt-in fast mode (sampler='dpmpp', 30/25 steps) on the same
-synthetic input.  Run on a QUIET host (see CLAUDE.md).
+The reference-semantics bench (bench.py) keeps DDIM 77/50 in bf16; this
+probe measures the fast-mode stack on the same synthetic input:
+DPM-Solver++(2M) at 30/25 steps (default), optionally with the conv-only
+int8 UNet (--quant int8), or int8 alone at reference steps
+(--sampler ddim --steps 77 50 --quant int8).  Run on a QUIET host
+(see CLAUDE.md).
 
-    PYTHONPATH=/root/.axon_site:/root/repo python examples/fast_mode_probe.py
+    PYTHONPATH=/root/.axon_site:/root/repo python examples/fast_mode_probe.py \
+        [--sampler dpmpp|ddim] [--steps S1 S2] [--quant none|int8]
 """
 
+import argparse
 import json
 import os
 import sys
@@ -21,12 +26,23 @@ def main():
     from one2345_tpu.core.config import PipelineConfig
     from one2345_tpu.pipeline.runner import One2345Pipeline
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="dpmpp")
+    ap.add_argument("--steps", type=int, nargs=2, default=None, metavar=("S1", "S2"))
+    ap.add_argument("--quant", choices=["none", "int8"], default="none")
+    args = ap.parse_args()
+    s1, s2 = args.steps if args.steps else (
+        (30, 25) if args.sampler == "dpmpp" else (77, 50))
+
     cfg = PipelineConfig()
-    cfg = cfg.replace(
-        diffusion=cfg.diffusion.replace(
-            sampler="dpmpp", ddim_steps_stage1=30, ddim_steps_stage2=25
-        )
+    d = cfg.diffusion.replace(
+        sampler=args.sampler, ddim_steps_stage1=s1, ddim_steps_stage2=s2
     )
+    if args.quant != "none":
+        d = d.replace(unet=d.unet.replace(quant=args.quant))
+    cfg = cfg.replace(diffusion=d)
+    mode = f"{args.sampler} {s1}/{s2}" + (
+        f" +{args.quant}" if args.quant != "none" else "")
     pipe = One2345Pipeline(cfg, use_sam=True)
 
     rng = np.random.default_rng(0)
@@ -42,7 +58,7 @@ def main():
         runs.append((time.perf_counter() - t0, result))
     dt, result = min(runs, key=lambda r: r[0])
     print(json.dumps({
-        "mode": "dpmpp 30/25",
+        "mode": mode,
         "secs_image_to_mesh": round(dt, 3),
         "all_runs_s": [round(r[0], 3) for r in runs],
         "vs_reference_baseline": round(45.0 / dt, 2),

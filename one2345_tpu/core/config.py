@@ -63,6 +63,12 @@ class UNetConfig(_ConfigBase):
     transformer_depth: int = 1
     context_dim: int = 768
     dtype: str = "bfloat16"
+    # 'none' (reference semantics) | 'int8' — W8A8 conv-only quantized
+    # fast mode, inference only (diffusion/quantize.py; conv-only per the
+    # measured ablation there).  Pairs with the dpmpp sampler for the
+    # fastest configuration; quality at 8-bit is unvalidated until real
+    # weights are available (README runbook).
+    quant: str = "none"
 
 
 @dataclass(frozen=True)

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from one2345_tpu.diffusion import quantize as q
 from one2345_tpu.diffusion.schedule import timestep_embedding
 
 
@@ -51,24 +52,25 @@ class ResBlock(nn.Module):
 
     out_channels: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, emb):
         h = GroupNorm32(self.dtype, name="in_norm")(x)
         h = nn.silu(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="in_conv"
+        h = q.conv(
+            self.quant, self.out_channels, (3, 3), dtype=self.dtype, name="in_conv"
         )(h)
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
         h = GroupNorm32(self.dtype, name="out_norm")(h)
         h = nn.silu(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+        h = q.conv(
+            self.quant, self.out_channels, (3, 3), dtype=self.dtype,
             kernel_init=zero_init(), name="out_conv",
         )(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+            x = q.conv(self.quant, self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
         return x + h
 
 
@@ -82,19 +84,26 @@ class Attention(nn.Module):
     heads: int
     dim_head: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-        B, T, _ = q.shape
-        S = k.shape[1]
-        q = q.reshape(B, T, self.heads, self.dim_head)
-        k = k.reshape(B, S, self.heads, self.dim_head)
-        v = v.reshape(B, S, self.heads, self.dim_head)
+        # int8 mode: the q/k/v/out projections route through q.dense, but the
+        # shipped SKIP_QUANT keeps them bf16 — the B=56 ablation measured
+        # dense-side quantization a net LOSS (quantize.py:SKIP_QUANT).  The
+        # attention core also stays bf16: its ~0.37 MFU cap is the 40-deep
+        # head_dim contraction (docs/diffusion_profile.md), which 8-bit does
+        # not deepen.
+        q_ = q.dense(self.quant, inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k_ = q.dense(self.quant, inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v_ = q.dense(self.quant, inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        B, T, _ = q_.shape
+        S = k_.shape[1]
+        q_ = q_.reshape(B, T, self.heads, self.dim_head)
+        k_ = k_.reshape(B, S, self.heads, self.dim_head)
+        v_ = v_.reshape(B, S, self.heads, self.dim_head)
         if S == 1:
             # Zero123 cross-attention context is ONE token (the cc-projected
             # CLIP+pose embedding, ddpm.py:747-752): softmax over a single
@@ -102,22 +111,23 @@ class Attention(nn.Module):
             # projection — exact, and the query path dead-codes away.  XLA
             # also hoists the (timestep-invariant) K/V work out of the DDIM
             # scan, removing cross-attention from the hot loop entirely.
-            o = jnp.broadcast_to(v, (B, T, self.heads, self.dim_head))
+            o = jnp.broadcast_to(v_, (B, T, self.heads, self.dim_head))
         else:
             from one2345_tpu.ops.flash_attention import attention as fused_attention
 
-            o = fused_attention(q, k, v)
+            o = fused_attention(q_, k_, v_)
         o = o.reshape(B, T, inner)
-        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
+        return q.dense(self.quant, x.shape[-1], dtype=self.dtype, name="to_out")(o)
 
 
 class GEGLU(nn.Module):
     dim_out: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h = q.dense(self.quant, self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         a, g = jnp.split(h, 2, axis=-1)
         return a * nn.gelu(g)
 
@@ -129,19 +139,20 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context):
         ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
-        x = x + Attention(self.heads, self.dim_head, self.dtype, name="attn1")(
+        x = x + Attention(self.heads, self.dim_head, self.dtype, self.quant, name="attn1")(
             ln("norm1")(x).astype(self.dtype)
         )
-        x = x + Attention(self.heads, self.dim_head, self.dtype, name="attn2")(
+        x = x + Attention(self.heads, self.dim_head, self.dtype, self.quant, name="attn2")(
             ln("norm2")(x).astype(self.dtype), context
         )
         h = ln("norm3")(x).astype(self.dtype)
-        h = GEGLU(x.shape[-1] * 4, self.dtype, name="ff_geglu")(h)
-        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(h)
+        h = GEGLU(x.shape[-1] * 4, self.dtype, self.quant, name="ff_geglu")(h)
+        h = q.dense(self.quant, x.shape[-1], dtype=self.dtype, name="ff_out")(h)
         return x + h
 
 
@@ -152,21 +163,23 @@ class SpatialTransformer(nn.Module):
     heads: int
     depth: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context):
         B, H, W, C = x.shape
         dim_head = C // self.heads
         h = GroupNorm32(self.dtype, name="norm")(x)
-        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = q.conv(self.quant, C, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, C)
         for i in range(self.depth):
             h = BasicTransformerBlock(
-                self.heads, dim_head, self.dtype, name=f"block{i}"
+                self.heads, dim_head, self.dtype, self.quant, name=f"block{i}"
             )(h, context)
         h = h.reshape(B, H, W, C)
-        h = nn.Conv(
-            C, (1, 1), dtype=self.dtype, kernel_init=zero_init(), name="proj_out"
+        h = q.conv(
+            self.quant, C, (1, 1), dtype=self.dtype, kernel_init=zero_init(),
+            name="proj_out",
         )(h)
         return x + h
 
@@ -174,24 +187,26 @@ class SpatialTransformer(nn.Module):
 class Downsample(nn.Module):
     channels: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
-            self.channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-            dtype=self.dtype, name="op",
+        return q.conv(
+            self.quant, self.channels, (3, 3), strides=(2, 2),
+            padding=((1, 1), (1, 1)), dtype=self.dtype, name="op",
         )(x)
 
 
 class Upsample(nn.Module):
     channels: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
-        return nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
+        return q.conv(self.quant, self.channels, (3, 3), dtype=self.dtype, name="conv")(x)
 
 
 class UNetModel(nn.Module):
@@ -210,6 +225,12 @@ class UNetModel(nn.Module):
     # (attention.py BasicTransformerBlock + openaimodel checkpoint());
     # trades FLOPs for activation memory when finetuning at 256^2.
     remat: bool = False
+    # W8A8 int8 fast mode (diffusion/quantize.py): quantized kernels live
+    # in the param tree as int8 + per-channel scales (derive the tree with
+    # quantize_unet_params); activations quantize dynamically per call.
+    # The shipped mode is conv-only (measured ablation in quantize.py).
+    # Inference-only — training/conversion always use the f32 tree.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, timesteps, context):
@@ -230,50 +251,51 @@ class UNetModel(nn.Module):
         context = context.astype(dt)
 
         hs = []
-        h = nn.Conv(mc, (3, 3), padding="SAME", dtype=dt, name="conv_in")(x.astype(dt))
+        h = q.conv(self.quant, mc, (3, 3), dtype=dt, name="conv_in")(x.astype(dt))
         hs.append(h)
         ds = 1
         # ---- encoder
         for level, mult in enumerate(self.channel_mult):
             ch = mc * mult
             for i in range(self.num_res_blocks):
-                h = ResB(ch, dt, name=f"in_{level}_{i}_res")(h, emb)
+                h = ResB(ch, dt, self.quant, name=f"in_{level}_{i}_res")(h, emb)
                 if ds in self.attention_resolutions:
                     h = SpT(
                         self.num_heads, self.transformer_depth, dt,
-                        name=f"in_{level}_{i}_attn",
+                        self.quant, name=f"in_{level}_{i}_attn",
                     )(h, context)
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
-                h = Downsample(ch, dt, name=f"down_{level}")(h)
+                h = Downsample(ch, dt, self.quant, name=f"down_{level}")(h)
                 hs.append(h)
                 ds *= 2
         # ---- middle
         ch = mc * self.channel_mult[-1]
-        h = ResB(ch, dt, name="mid_res1")(h, emb)
+        h = ResB(ch, dt, self.quant, name="mid_res1")(h, emb)
         h = SpT(
-            self.num_heads, self.transformer_depth, dt, name="mid_attn"
+            self.num_heads, self.transformer_depth, dt, self.quant,
+            name="mid_attn",
         )(h, context)
-        h = ResB(ch, dt, name="mid_res2")(h, emb)
+        h = ResB(ch, dt, self.quant, name="mid_res2")(h, emb)
         # ---- decoder
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             ch = mc * mult
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResB(ch, dt, name=f"out_{level}_{i}_res")(h, emb)
+                h = ResB(ch, dt, self.quant, name=f"out_{level}_{i}_res")(h, emb)
                 if ds in self.attention_resolutions:
                     h = SpT(
                         self.num_heads, self.transformer_depth, dt,
-                        name=f"out_{level}_{i}_attn",
+                        self.quant, name=f"out_{level}_{i}_attn",
                     )(h, context)
             if level != 0:
-                h = Upsample(ch, dt, name=f"up_{level}")(h)
+                h = Upsample(ch, dt, self.quant, name=f"up_{level}")(h)
                 ds //= 2
 
         h = GroupNorm32(dt, name="out_norm")(h)
         h = nn.silu(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding="SAME", dtype=dt,
+        h = q.conv(
+            self.quant, self.out_channels, (3, 3), dtype=dt,
             kernel_init=zero_init(), name="conv_out",
         )(h)
         return h.astype(jnp.float32)

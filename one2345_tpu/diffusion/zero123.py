@@ -79,6 +79,7 @@ class Zero123Stage:
         self.config = config or DiffusionConfig()
         cfg = self.config
         dt = jnp.bfloat16 if cfg.unet.dtype == "bfloat16" else jnp.float32
+        self.quant = getattr(cfg.unet, "quant", "none") == "int8"
         self.unet = UNetModel(
             in_channels=cfg.unet.in_channels,
             out_channels=cfg.unet.out_channels,
@@ -90,6 +91,7 @@ class Zero123Stage:
             transformer_depth=cfg.unet.transformer_depth,
             context_dim=cfg.unet.context_dim,
             dtype=dt,
+            quant=self.quant,
         )
         self.encoder = Encoder(
             base_channels=cfg.vae.base_channels,
@@ -117,13 +119,32 @@ class Zero123Stage:
         self.cc_projection = CCProjection()
         self.scale_factor = cfg.vae.scale_factor
         self.params = params if params is not None else self.init_params(jax.random.key(seed))
+        if self.quant:
+            self.params = dict(self.params)
+            self.params["unet"] = self._quantized_unet_vars(self.params["unet"])
+
+    def _quantized_unet_vars(self, unet_vars: dict) -> dict:
+        """f32 UNet variables -> int8 tree for the quant module (idempotent:
+        an already-quantized tree — e.g. restored from a checkpoint saved by
+        a quant-mode process — passes through unchanged)."""
+        from flax import traverse_util
+
+        from one2345_tpu.diffusion.quantize import quantize_unet_params
+
+        flat = traverse_util.flatten_dict(unet_vars.get("params", {}))
+        if any(path[-1] == "kernel_q" for path in flat):
+            return unet_vars
+        return quantize_unet_params(unet_vars)
 
     def init_params(self, key) -> dict:
-        # jitted inits: flax init is otherwise eager op-by-op dispatch
+        # jitted inits: flax init is otherwise eager op-by-op dispatch.
+        # Always init the f32 structure — quant trees are DERIVED from it
+        # in __init__ (inference-only; training/conversion stay f32).
         cfg = self.config
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         L = cfg.latent_size
-        unet_vars = jax.jit(self.unet.init)(
+        unet_f32 = self.unet.clone(quant=False) if self.quant else self.unet
+        unet_vars = jax.jit(unet_f32.init)(
             k1,
             jnp.zeros((1, L, L, cfg.unet.in_channels)),
             jnp.zeros((1,), jnp.int32),

@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("S1", "S2"),
                    help="override stage-1/stage-2 denoising step counts "
                         "(reference defaults: 75 50)")
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="int8 = W8A8 quantized UNet fast mode (stacks with "
+                        "--sampler dpmpp; quality unvalidated without real "
+                        "weights — see diffusion/quantize.py)")
     return p
 
 
@@ -38,11 +42,13 @@ def build_config(args):
     from one2345_tpu.core.config import PipelineConfig
 
     cfg = PipelineConfig(half_precision=args.half_precision, seed=args.seed)
-    if args.sampler != "ddim" or args.steps:
+    if args.sampler != "ddim" or args.steps or args.quant != "none":
         d = cfg.diffusion.replace(sampler=args.sampler)
         if args.steps:
             d = d.replace(ddim_steps_stage1=args.steps[0],
                           ddim_steps_stage2=args.steps[1])
+        if args.quant != "none":
+            d = d.replace(unet=d.unet.replace(quant=args.quant))
         cfg = cfg.replace(diffusion=d)
     return cfg
 

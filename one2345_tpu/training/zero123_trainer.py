@@ -72,6 +72,12 @@ class Zero123Trainer:
         :param remat: rematerialize UNet blocks in the backward pass
             (identical gradients, ~half the activation memory — needed for
             the 860M-param UNet at 256^2 on per-chip HBM)"""
+        if getattr(stage, "quant", False):
+            raise ValueError(
+                "Zero123Trainer needs an f32 param tree — construct the stage "
+                "with UNetConfig.quant='none' (int8 is an inference-only "
+                "fast mode, diffusion/quantize.py)"
+            )
         self.stage = stage
         self.unet_train = stage.unet.clone(remat=True) if remat else stage.unet
         self.sched = jax.tree_util.tree_map(jnp.asarray, training_schedule(
