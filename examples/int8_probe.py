@@ -33,8 +33,13 @@ def timed_scan(fn, args, iters=20, label=""):
             out = fn(carry, *rest)
             # chain the output into the next iteration's input so the op is
             # NOT loop-invariant (XLA would hoist an invariant body out of
-            # the scan and we'd time one eval instead of `iters`)
-            nxt = out.reshape(-1)[: x.size].reshape(x.shape).astype(x.dtype)
+            # the scan and we'd time one eval instead of `iters`).  The
+            # chain must consume EVERY output element: an earlier version
+            # took the first x.size elements, which for the (M,N>K) matmul
+            # cases let XLA sink the slice into the dot and compute only
+            # M*K/N rows — a last-axis reduction keeps the full op live.
+            red = out.astype(jnp.float32).sum(axis=-1, keepdims=True)
+            nxt = (carry.astype(jnp.float32) + red).astype(x.dtype)
             return nxt, None
 
         c, _ = lax.scan(body, x, None, length=iters)

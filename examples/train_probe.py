@@ -1,0 +1,76 @@
+"""Zero123 finetune throughput on one chip at production scale.
+
+Measures steps/sec of `Zero123Trainer.train_step` (full 860M-param SD
+UNet, 256^2 images, remat backward, f32 params + Adam + EMA, bf16
+compute) — the single-chip building block of the sharded trainer that
+`__graft_entry__.dryrun_multichip` validates on the virtual mesh.
+Run on a QUIET host.  One JSON line.
+
+    PYTHONPATH=/root/.axon_site:/root/repo python examples/train_probe.py [--batch 4]
+
+Reference scale for context: the reference finetunes Zero123 at batch
+192 across 8xA100-80GB (README + zero123 configs); per-chip HBM on v5e
+(16 GB) bounds the local batch instead — the DP/model-sharded trainer
+(training/zero123_trainer.py::make_sharded_train_step) is the scale-out
+path.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    from one2345_tpu.core.config import DiffusionConfig
+    from one2345_tpu.diffusion.zero123 import Zero123Stage
+    from one2345_tpu.training.zero123_trainer import Zero123Trainer
+
+    cfg = DiffusionConfig()
+    stage = Zero123Stage(cfg, seed=0)
+    trainer = Zero123Trainer(stage, remat=True)
+    state = trainer.init_state()
+    frozen = {k: stage.params[k] for k in ("encoder", "clip")}
+
+    B, S = args.batch, cfg.image_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "image_target": jnp.asarray(rng.uniform(-1, 1, (B, S, S, 3)), jnp.float32),
+        "image_cond": jnp.asarray(rng.uniform(-1, 1, (B, S, S, 3)), jnp.float32),
+        "T": jnp.asarray(rng.uniform(-1, 1, (B, 1, 4)), jnp.float32),
+    }
+    key = jax.random.key(0)
+
+    state, loss = trainer.train_step(state, frozen, batch, key)  # compile
+    _ = np.asarray(loss)  # drain (axon block_until_ready lies post-compile)
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, loss = trainer.train_step(state, frozen, batch, jax.random.key(i + 1))
+    final = float(np.asarray(loss))
+    dt = (time.perf_counter() - t0) / args.iters
+    print(json.dumps({
+        "component": "zero123_train_step",
+        "batch": B,
+        "image_size": S,
+        "sec_per_step": round(dt, 4),
+        "steps_per_sec": round(1.0 / dt, 3),
+        "images_per_sec": round(B / dt, 2),
+        "loss_finite": bool(np.isfinite(final)),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,21 @@ def test_cli_fast_mode_flags():
     assert default.diffusion.sampler == "ddim"
     assert default.diffusion.ddim_steps_stage1 == 75
 
+    # dpmpp without --steps defaults to the fast-mode 30/25 (NOT 75/50)
+    dpmpp = build_config(
+        build_parser().parse_args(["--img_path", "x.png", "--sampler", "dpmpp"])
+    )
+    assert dpmpp.diffusion.ddim_steps_stage1 == 30
+    assert dpmpp.diffusion.ddim_steps_stage2 == 25
+
+    # --quant lands on the UNet config; default stays 'none'
+    q = build_config(
+        build_parser().parse_args(["--img_path", "x.png", "--quant", "int8"])
+    )
+    assert q.diffusion.unet.quant == "int8"
+    assert q.diffusion.ddim_steps_stage1 == 75  # quant alone keeps ref steps
+    assert default.diffusion.unet.quant == "none"
+
 
 def test_zero123_tiny_sampler_dpmpp():
     """sampler='dpmpp' runs the full conditioning/CFG/decode path, and the
