@@ -4,7 +4,8 @@ The reference-semantics bench (bench.py) keeps DDIM 77/50 in bf16; this
 probe measures the fast-mode stack on the same synthetic input:
 DPM-Solver++(2M) at 30/25 steps (default), optionally with the conv-only
 int8 UNet (--quant int8), or int8 alone at reference steps
-(--sampler ddim --steps 77 50 --quant int8).  Run on a QUIET host
+(--sampler ddim --quant int8; the ddim step default is REQUESTED 75/50
+= the reference's 77/50 actual timesteps).  Run on a QUIET host
 (see CLAUDE.md).
 
     PYTHONPATH=/root/.axon_site:/root/repo python examples/fast_mode_probe.py \
@@ -24,24 +25,21 @@ import numpy as np
 
 def main():
     from one2345_tpu.core.config import PipelineConfig
+    from one2345_tpu.pipeline.cli import apply_fast_modes
     from one2345_tpu.pipeline.runner import One2345Pipeline
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="dpmpp")
+    ap.add_argument("--sampler", choices=["ddim", "plms", "dpmpp"], default="dpmpp")
     ap.add_argument("--steps", type=int, nargs=2, default=None, metavar=("S1", "S2"))
     ap.add_argument("--quant", choices=["none", "int8"], default="none")
     args = ap.parse_args()
-    s1, s2 = args.steps if args.steps else (
-        (30, 25) if args.sampler == "dpmpp" else (77, 50))
 
-    cfg = PipelineConfig()
-    d = cfg.diffusion.replace(
-        sampler=args.sampler, ddim_steps_stage1=s1, ddim_steps_stage2=s2
+    cfg = apply_fast_modes(
+        PipelineConfig(), sampler=args.sampler,
+        steps=tuple(args.steps) if args.steps else None, quant=args.quant,
     )
-    if args.quant != "none":
-        d = d.replace(unet=d.unet.replace(quant=args.quant))
-    cfg = cfg.replace(diffusion=d)
-    mode = f"{args.sampler} {s1}/{s2}" + (
+    d = cfg.diffusion
+    mode = f"{args.sampler} {d.ddim_steps_stage1}/{d.ddim_steps_stage2}" + (
         f" +{args.quant}" if args.quant != "none" else "")
     pipe = One2345Pipeline(cfg, use_sam=True)
 

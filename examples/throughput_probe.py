@@ -21,6 +21,7 @@ import numpy as np
 
 def main():
     from one2345_tpu.core.config import PipelineConfig
+    from one2345_tpu.pipeline.cli import apply_fast_modes
     from one2345_tpu.pipeline.runner import One2345Pipeline
 
     ap = argparse.ArgumentParser()
@@ -30,17 +31,13 @@ def main():
     ap.add_argument("--n", type=int, default=6, help="requests in the batch")
     ap.add_argument("--in_flight", type=int, default=2)
     args = ap.parse_args()
-    s1, s2 = args.steps if args.steps else (
-        (30, 25) if args.sampler == "dpmpp" else (77, 50))
 
-    cfg = PipelineConfig()
-    d = cfg.diffusion.replace(
-        sampler=args.sampler, ddim_steps_stage1=s1, ddim_steps_stage2=s2
+    cfg = apply_fast_modes(
+        PipelineConfig(), sampler=args.sampler,
+        steps=tuple(args.steps) if args.steps else None, quant=args.quant,
     )
-    if args.quant != "none":
-        d = d.replace(unet=d.unet.replace(quant=args.quant))
-    cfg = cfg.replace(diffusion=d)
-    mode = f"{args.sampler} {s1}/{s2}" + (
+    d = cfg.diffusion
+    mode = f"{args.sampler} {d.ddim_steps_stage1}/{d.ddim_steps_stage2}" + (
         f" +{args.quant}" if args.quant != "none" else "")
     pipe = One2345Pipeline(cfg, use_sam=True)
 

@@ -79,7 +79,13 @@ class Zero123Stage:
         self.config = config or DiffusionConfig()
         cfg = self.config
         dt = jnp.bfloat16 if cfg.unet.dtype == "bfloat16" else jnp.float32
-        self.quant = getattr(cfg.unet, "quant", "none") == "int8"
+        quant_mode = getattr(cfg.unet, "quant", "none")
+        if quant_mode not in ("none", "int8"):
+            # a typo ('INT8', 'w8a8') must not silently run the bf16 path
+            raise ValueError(
+                f"UNetConfig.quant must be 'none' or 'int8', got {quant_mode!r}"
+            )
+        self.quant = quant_mode == "int8"
         self.unet = UNetModel(
             in_channels=cfg.unet.in_channels,
             out_channels=cfg.unet.out_channels,

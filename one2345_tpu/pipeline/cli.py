@@ -24,13 +24,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_sam", action="store_true", help="alpha/threshold segmentation instead of SAM")
     # extensions beyond run.py's flag surface
     p.add_argument("--sampler", choices=["ddim", "plms", "dpmpp"], default="ddim",
-                   help="dpmpp = DPM-Solver++(2M) fast mode (pair with "
+                   help="dpmpp = DPM-Solver++(2M) fast mode (defaults to "
                         "--steps 30 25; quality unvalidated without real "
                         "weights — see diffusion/dpm_solver.py)")
     p.add_argument("--steps", type=int, nargs=2, default=None,
                    metavar=("S1", "S2"),
-                   help="override stage-1/stage-2 denoising step counts "
-                        "(reference defaults: 75 50)")
+                   help="override stage-1/stage-2 REQUESTED denoising step "
+                        "counts (reference defaults: 75 50; the schedule's "
+                        "+1/divisor quirk makes requested 75 run 77 actual "
+                        "timesteps, matching the reference)")
     p.add_argument("--quant", choices=["none", "int8"], default="none",
                    help="int8 = W8A8 quantized UNet fast mode (stacks with "
                         "--sampler dpmpp; quality unvalidated without real "
@@ -38,19 +40,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def apply_fast_modes(cfg, sampler="ddim", steps=None, quant="none"):
+    """Overlay the opt-in fast-mode knobs on a PipelineConfig.
+
+    ``steps`` are REQUESTED counts (the schedule rounds up to the next
+    divisor of 1000 plus the +1 offset — the reference's requested 75
+    becomes 77 actual timesteps; see diffusion/schedule.py).  ``steps``
+    of None keeps the reference defaults (75, 50) for ddim/plms and uses
+    (30, 25) for dpmpp."""
+    if steps is None and sampler == "dpmpp":
+        steps = (30, 25)
+    if sampler != "ddim" or steps or quant != "none":
+        d = cfg.diffusion.replace(sampler=sampler)
+        if steps:
+            d = d.replace(ddim_steps_stage1=steps[0], ddim_steps_stage2=steps[1])
+        if quant != "none":
+            d = d.replace(unet=d.unet.replace(quant=quant))
+        cfg = cfg.replace(diffusion=d)
+    return cfg
+
+
 def build_config(args):
     from one2345_tpu.core.config import PipelineConfig
 
     cfg = PipelineConfig(half_precision=args.half_precision, seed=args.seed)
-    if args.sampler != "ddim" or args.steps or args.quant != "none":
-        d = cfg.diffusion.replace(sampler=args.sampler)
-        if args.steps:
-            d = d.replace(ddim_steps_stage1=args.steps[0],
-                          ddim_steps_stage2=args.steps[1])
-        if args.quant != "none":
-            d = d.replace(unet=d.unet.replace(quant=args.quant))
-        cfg = cfg.replace(diffusion=d)
-    return cfg
+    return apply_fast_modes(
+        cfg, sampler=args.sampler,
+        steps=tuple(args.steps) if args.steps else None, quant=args.quant,
+    )
 
 
 def main(argv=None):
