@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute: compiles tiny full pipelines
 
 from one2345_tpu.core.config import (
     CLIPVisionConfig,

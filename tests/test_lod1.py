@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: two-lod recon compiles
+
 from one2345_tpu.core.config import ReconConfig
 from one2345_tpu.geometry import cameras as cam
 from one2345_tpu.recon.pipeline import ReconStage

@@ -4,6 +4,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: 8-device sharded sampling compiles
+
 
 def test_sharded_sampler_matches_single_device():
     if len(jax.devices()) < 2:

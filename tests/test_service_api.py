@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: full service pipeline on CPU
+
 from tests.test_diffusion import tiny_config
 from one2345_tpu.core.config import PipelineConfig, ReconConfig
 from one2345_tpu.pipeline.api import One2345Service

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: trainer + dryrun_multichip compiles
+
 
 def test_zero123_train_step():
     import jax
