@@ -77,8 +77,13 @@ def dpmpp_sample(
         lam_t, lam_next = lam(a_t), lam(a_next)
         h = lam_next - lam_t
         h_prev = lam_t - prev_lam
-        # on lower-order steps force r=1, prev_x0=x0 -> D reduces to x0
-        r = jnp.where(lower, 1.0, h_prev / h)
+        # on lower-order steps force r=1, prev_x0=x0 -> D reduces to x0.
+        # Degenerate node spacing also drops to first order: schedules with
+        # S > 500 clip the +1 timestep offset (make_ddim_schedule), which
+        # duplicates the terminal node -> h_prev or h is exactly 0 and the
+        # second-order 1/(2r) term would be inf - inf = NaN.
+        lower = lower | (h_prev == 0.0) | (h == 0.0)
+        r = jnp.where(lower, 1.0, h_prev / jnp.where(h == 0.0, 1.0, h))
         x0_prev = jnp.where(lower, x0, prev_x0)
         D = (1.0 + 1.0 / (2.0 * r)) * x0 - 1.0 / (2.0 * r) * x0_prev
 

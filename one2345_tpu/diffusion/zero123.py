@@ -251,6 +251,11 @@ class Zero123Stage:
             T = jax.device_put(T, data)
             noise_ids = jax.device_put(noise_ids, data)
         sampler = sampler or getattr(self.config, "sampler", "ddim")
+        if sampler not in ("ddim", "plms", "dpmpp"):
+            # same contract as UNetConfig.quant: a typo must not silently
+            # run a different sampler (the old fallthrough ran eta-config
+            # DDIM for ANY unknown string)
+            raise ValueError(f"unknown sampler {sampler!r}: ddim|plms|dpmpp")
         if sampler in ("plms", "dpmpp"):
             sched = make_ddim_schedule(
                 steps, self.config.timesteps, 0.0,

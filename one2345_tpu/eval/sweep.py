@@ -50,22 +50,25 @@ def load_obj(path: str):
 
 
 def load_mesh(path: str):
-    """(verts [N,3], faces [M,3]) from .ply / .obj / .glb."""
+    """(verts [N,3], faces [M,3], colors [N,3]|None) from .ply/.obj/.glb."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".ply":
         from one2345_tpu.recon.mesh_extract import load_ply
 
-        v, f, _ = load_ply(path)
-        return np.asarray(v, np.float32), np.asarray(f, np.int32)
-    if ext == ".obj":
-        v, f, _ = load_obj(path)
-        return v, f
-    if ext == ".glb":
+        v, f, c = load_ply(path)
+    elif ext == ".obj":
+        v, f, c = load_obj(path)
+    elif ext == ".glb":
         from one2345_tpu.recon.gltf import load_glb
 
-        out = load_glb(path)
-        return np.asarray(out[0], np.float32), np.asarray(out[1], np.int32)
-    raise ValueError(f"unsupported mesh format: {path}")
+        v, f, c = load_glb(path)
+    else:
+        raise ValueError(f"unsupported mesh format: {path}")
+    return (
+        np.asarray(v, np.float32),
+        np.asarray(f, np.int32),
+        None if c is None else np.asarray(c, np.float32),
+    )
 
 
 def _stem(name: str) -> str:
@@ -107,15 +110,26 @@ def run_sweep(
     pairs = discover_pairs(pred_dir, gt_dir)
     rows = []
     for key, ppath, gpath in pairs:
-        pv, pf = load_mesh(ppath)
-        gv, gf = load_mesh(gpath)
+        pv, pf, pc = load_mesh(ppath)
+        gv, gf, gc = load_mesh(gpath)
         m = evaluate_mesh_pair(pv, pf, gv, gf, n_points=n_points,
                                fscore_threshold=threshold)
+        # rasterize the prediction's 24 eval views at most once — both the
+        # CLIP metric and --render_dir consume them, WITH vertex colors
+        # (the paper's CLIP similarity compares rendered appearance)
+        pred_views = None
+        if clip_scorer is not None or render_dir:
+            from one2345_tpu.eval.render_harness import render_eval_views
+
+            pred_views = render_eval_views(pv, pf, pc)
         if clip_scorer is not None:
-            m["clip_sim"] = clip_scorer.similarity((pv, pf), (gv, gf))
+            gt_views = render_eval_views(gv, gf, gc)
+            m["clip_sim"] = clip_scorer.similarity_from_renders(
+                pred_views, gt_views
+            )
         rows.append({"name": key, "pred": ppath, "gt": gpath, **m})
         if render_dir:
-            _save_renders(key, pv, pf, render_dir)
+            _save_renders(key, pred_views, render_dir)
     summary = {}
     if rows:
         metrics = ["chamfer_l2", "chamfer_l1", "f_score"]
@@ -132,14 +146,11 @@ def run_sweep(
     }
 
 
-def _save_renders(key: str, verts, faces, render_dir: str):
+def _save_renders(key: str, views, render_dir: str):
     from PIL import Image
-
-    from one2345_tpu.eval.render_harness import render_eval_views
 
     out = os.path.join(render_dir, key)
     os.makedirs(out, exist_ok=True)
-    views = render_eval_views(verts, faces, res=256)
     for i, v in enumerate(views):
         Image.fromarray((np.clip(v, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(out, f"{i:03d}.png")
@@ -174,6 +185,14 @@ def main(argv=None):
 
             tree = checkpoint.restore(args.clip_params)
             params = tree.get("zero123", tree).get("clip")
+            if params is None:
+                # a real-checkpoint run must not silently degrade to the
+                # random tower (only the bare flag means protocol-check mode)
+                raise SystemExit(
+                    f"--clip_params {args.clip_params}: checkpoint has no "
+                    "'clip' (or 'zero123/clip') subtree — pass a convert_cli "
+                    "output dir, or use the bare flag for random weights"
+                )
         clip_scorer = ClipScorer(params)
 
     table = run_sweep(args.pred_dir, args.gt_dir, args.n_points,

@@ -48,6 +48,8 @@ def apply_fast_modes(cfg, sampler="ddim", steps=None, quant="none"):
     becomes 77 actual timesteps; see diffusion/schedule.py).  ``steps``
     of None keeps the reference defaults (75, 50) for ddim/plms and uses
     (30, 25) for dpmpp."""
+    if sampler not in ("ddim", "plms", "dpmpp"):
+        raise ValueError(f"unknown sampler {sampler!r}: ddim|plms|dpmpp")
     if steps is None and sampler == "dpmpp":
         steps = (30, 25)
     if sampler != "ddim" or steps or quant != "none":

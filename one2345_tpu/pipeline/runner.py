@@ -327,6 +327,14 @@ class One2345Pipeline:
         """
         from concurrent.futures import ThreadPoolExecutor
 
+        # Build the lazy stages on the calling thread first: the `is None`
+        # property checks are not thread-safe, and two threads racing into
+        # a cold pipeline would each construct (and remote-compile) their
+        # own stage objects.
+        _ = self.zero123, self.recon, self.elevation_estimator
+        if self.use_sam and not run_kwargs.get("skip_preprocess"):
+            _ = self.sam
+
         n = len(images)
         if seeds is None:
             seeds = [self.config.seed + i for i in range(n)]

@@ -13,6 +13,7 @@ trainer_generic.py:827-979,1309-1380).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Any
 
 import jax
@@ -38,6 +39,9 @@ class ReconStage:
 
     def __init__(self, config: ReconConfig | None = None, params: Any = None, seed: int = 0):
         self.config = config or ReconConfig()
+        # guards the shared _field_buf across the sparse-fetch -> marching
+        # tets window when run_many overlaps requests (pipeline/runner.py)
+        self._field_lock = threading.Lock()
         cfg = self.config
         dt = _dtype_of(cfg)
         self.fusion = PyramidFeatureFusion(dtype=dt)
@@ -518,14 +522,20 @@ class ReconStage:
         q = self.field_grid_i8(self.params, volume, mask_volume, resolution, lod)
         thr = cfg.mesh_threshold * 1000.0
         if cfg.sparse_field_fetch:
-            # 2 MB sign plane + sparse refinement instead of the 16 MB grid
-            u, active_cubes = self._fetch_field_sparse(q, resolution, thr)
+            # 2 MB sign plane + sparse refinement instead of the 16 MB grid.
+            # The fetch fills the stage-shared _field_buf and marching tets
+            # reads it, so the whole window holds the lock: overlapped
+            # run_many requests must not rewrite the buffer mid-read.
+            with self._field_lock:
+                u, active_cubes = self._fetch_field_sparse(q, resolution, thr)
+                verts_grid, faces = mesh_extract.marching_tetrahedra(
+                    u, thr, active_cubes=active_cubes
+                )
         else:
             u, active_cubes = np.asarray(q, np.float32), None
-
-        verts_grid, faces = mesh_extract.marching_tetrahedra(
-            u, thr, active_cubes=active_cubes
-        )
+            verts_grid, faces = mesh_extract.marching_tetrahedra(
+                u, thr, active_cubes=active_cubes
+            )
         verts_n = mesh_extract.grid_to_world(verts_grid, (-1, -1, -1), (1, 1, 1), resolution)
 
         # vertex colors in padded buckets.  Device conversions hoisted out

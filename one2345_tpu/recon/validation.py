@@ -85,7 +85,19 @@ class Validator:
         volume, mask_volume = vol["volume"], vol["mask"]
         if lod == 1:
             assert st.sdf_net_lod1 is not None, "stage built with num_lods=1"
-            pre_mask = st.prune_occupancy(params, volume, mask_volume)
+            # same prune path as scene_loss/reconstruct — a depth-filter
+            # config must validate the occupancy mask it actually trains
+            if st.config.lod1_prune_depth_filter:
+                pre_mask = st.prune_occupancy_depth_filter(
+                    params, volume, mask_volume,
+                    jnp.asarray(cameras["affines"][src]),
+                    jnp.asarray(cameras["intrinsics"][src]),
+                    jnp.asarray(cameras["c2ws"][src]),
+                    jnp.asarray(cameras["near_fars"][1]),
+                    tuple(st.config.image_hw),
+                )
+            else:
+                pre_mask = st.prune_occupancy(params, volume, mask_volume)
             if "fusion_lod1" in params:
                 feats = st.feature_maps_lod1(params, jnp.asarray(images))
             out1 = st.conditional_volume_lod1(

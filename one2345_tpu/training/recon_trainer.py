@@ -79,6 +79,10 @@ class ReconTrainer:
         end = self.cfg.anneal_end if lod == 0 else self.cfg.anneal_end_lod1
         if end == 0:
             return jnp.asarray(1.0)
+        if end <= start:
+            # collapsed window (the reference's lod1 start == end quirk):
+            # a step function, not (step - start) / 0 = NaN at step == start
+            return jnp.where(step < start, 0.0, 1.0)
         return jnp.clip((step - start) / (end - start), 0.0, 1.0)
 
     # ------------------------------------------------------------- forward

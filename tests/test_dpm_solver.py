@@ -87,6 +87,24 @@ def test_dpmpp_higher_order_than_ddim():
     assert err_dpm < 0.06, err_dpm  # the 32-step run
 
 
+def test_dpmpp_duplicate_terminal_node_finite():
+    """Schedules with S > 500 clip the +1 timestep offset
+    (make_ddim_schedule), duplicating the terminal node: h_prev == 0 there
+    and the second-order term must drop to first order, not produce
+    inf - inf = NaN."""
+    sched = make_ddim_schedule(600, eta=0.0)
+    assert sched.timesteps[0] == sched.timesteps[1]  # the degenerate pair
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.normal(size=(1, 4, 4, 2)), jnp.float32)
+    out = np.asarray(dpmpp_sample(lambda x, t: 0.1 * x, x0, sched))
+    assert np.isfinite(out).all()
+    # and it still matches the ODE solution the non-degenerate ladder finds
+    ref = np.asarray(
+        dpmpp_sample(lambda x, t: 0.1 * x, x0, make_ddim_schedule(500, eta=0.0))
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-3, atol=1e-4)
+
+
 def test_cli_fast_mode_flags():
     """--sampler/--steps land on DiffusionConfig; defaults stay reference."""
     from one2345_tpu.pipeline.cli import build_config, build_parser
@@ -117,6 +135,29 @@ def test_cli_fast_mode_flags():
     assert q.diffusion.unet.quant == "int8"
     assert q.diffusion.ddim_steps_stage1 == 75  # quant alone keeps ref steps
     assert default.diffusion.unet.quant == "none"
+
+
+def test_unknown_sampler_raises():
+    """A sampler typo must raise, not silently run eta-config DDIM (same
+    contract as the UNetConfig.quant guard)."""
+    import pytest
+
+    from one2345_tpu.pipeline.cli import apply_fast_modes
+    from one2345_tpu.core.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="unknown sampler"):
+        apply_fast_modes(PipelineConfig(), sampler="dpm++")
+
+    from test_diffusion import tiny_config
+    from one2345_tpu.diffusion.zero123 import Zero123Stage
+
+    stage = Zero123Stage(tiny_config(), seed=0)
+    img = np.zeros((2, 32, 32, 3), np.float32)
+    with pytest.raises(ValueError, match="unknown sampler"):
+        stage.sample_views(
+            jnp.asarray(img), [0.0, 30.0], [0.0, 90.0], jax.random.key(0),
+            steps=2, sampler="DPMPP",
+        )
 
 
 def test_zero123_tiny_sampler_dpmpp():

@@ -319,3 +319,22 @@ def test_recon_lod1_fix_lod0():
         before["sdf_lod1"], state2.params["sdf_lod1"],
     )
     assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_alpha_inter_ratio_collapsed_window():
+    """anneal_start == anneal_end (the reference's lod1 quirk) must be a
+    step function, not (step - start) / 0 = NaN at step == start."""
+    from one2345_tpu.core.config import ReconConfig
+    from one2345_tpu.training.recon_trainer import ReconTrainer
+
+    tr = ReconTrainer(None, config=ReconConfig(anneal_start=25000, anneal_end=25000))
+    for step, want in ((0, 0.0), (24999, 0.0), (25000, 1.0), (30000, 1.0)):
+        v = float(tr.alpha_inter_ratio(step))
+        assert np.isfinite(v) and v == want, (step, v)
+    # the ordinary ramp is unchanged
+    tr2 = ReconTrainer(None, config=ReconConfig(anneal_start=100, anneal_end=200))
+    assert float(tr2.alpha_inter_ratio(150)) == 0.5
+    assert float(tr2.alpha_inter_ratio(0)) == 0.0
+    # end == 0 disables annealing entirely (train runner :412-418)
+    tr3 = ReconTrainer(None, config=ReconConfig(anneal_start=0, anneal_end=0))
+    assert float(tr3.alpha_inter_ratio(0)) == 1.0

@@ -80,3 +80,15 @@ def test_render_view_lod1():
     assert out["color"].shape == (8, 8, 3)
     for v in out.values():
         assert np.isfinite(v).all()
+
+    # depth-filter configs must validate through the SAME prune path the
+    # trainer/reconstruct use (prune_occupancy_depth_filter), not the
+    # plain occupancy prune
+    cfg_df = cfg.replace(lod1_prune_depth_filter=True)
+    stage_df = ReconStage(cfg_df, params=stage.params)
+    out_df = Validator(stage_df, n_rays_chunk=256).render_view(
+        images, cams, view_idx=0, H=8, W=8, lod=1
+    )
+    assert out_df["color"].shape == (8, 8, 3)
+    for v in out_df.values():
+        assert np.isfinite(v).all()
