@@ -1,0 +1,134 @@
+"""DDIM img2img utilities: encode / stochastic_encode / decode.
+
+Parity target: ldm/models/diffusion/ddim.py:245-326 — the three sampler
+methods run.py never calls but the reference API exposes (img2img-style
+editing: deterministically or stochastically push a clean latent to an
+intermediate noise level, then decode it back with the conditional model).
+
+All three are jittable pure functions over the same ``DDIMSchedule`` the
+samplers use and the same ``eps_fn(x, t) -> eps`` protocol as
+diffusion/plms.py / dpm_solver.py (CFG folding happens inside the caller's
+eps_fn, matching the reference's in-method CFG at ddim.py:265-273 /
+p_sample_ddim).
+
+Reference quirk kept on purpose: ``encode`` feeds the *loop index* i to the
+model as the timestep (ddim.py:264 ``t = torch.full(..., i, ...)``), NOT the
+DDPM timestep ``ddim_timesteps[i]`` — with 77 DDIM steps the model is asked
+about t in [0, 77) while the alphas walked are the full-range cumprods.
+We replicate it because parity means reproducing behavior, not intent.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from one2345_tpu.diffusion.schedule import DDIMSchedule
+
+
+def _ascending(sched: DDIMSchedule):
+    """The schedule arrays in t-ascending order (the construction order of
+    the reference's ddim_alphas / ddim_alphas_prev, before the sampling
+    flip)."""
+    rev = slice(None, None, -1)
+    return (
+        np.asarray(sched.timesteps[rev]),
+        np.asarray(sched.alphas[rev]),
+        np.asarray(sched.alphas_prev[rev]),
+        np.asarray(sched.sqrt_one_minus_alphas[rev]),
+    )
+
+
+def ddim_encode(eps_fn, x0: jnp.ndarray, sched: DDIMSchedule, t_enc: int) -> jnp.ndarray:
+    """Deterministic DDIM inversion: walk x0 *up* the noise schedule for
+    ``t_enc`` of the schedule's steps (ddim.py:245-290 ``encode`` with
+    use_original_steps=False, return_intermediates=None).
+
+    :param eps_fn: (x [B,...], t scalar int) -> eps [B,...]; CFG-folded
+    :param t_enc: static int, 1..sched.num_steps
+    :return: x at DDIM noise level t_enc
+    """
+    if not (1 <= t_enc <= sched.num_steps):
+        raise ValueError(f"t_enc must be in [1, {sched.num_steps}], got {t_enc}")
+    _, asc_alphas, asc_alphas_prev, _ = _ascending(sched)
+    # reference naming (ddim.py:255-258): alphas_next = ddim_alphas,
+    # alphas = ddim_alphas_prev — each step moves alphas[i] -> alphas_next[i]
+    alphas_next = jnp.asarray(asc_alphas[:t_enc])
+    alphas = jnp.asarray(asc_alphas_prev[:t_enc])
+
+    def step(x, per):
+        i, a_next, a = per
+        e = eps_fn(x, i)  # quirk: loop index as timestep (ddim.py:264)
+        x_weighted = jnp.sqrt(a_next / a) * x
+        weighted_eps = jnp.sqrt(a_next) * (
+            jnp.sqrt(1.0 / a_next - 1.0) - jnp.sqrt(1.0 / a - 1.0)
+        ) * e
+        return x_weighted + weighted_eps, None
+
+    xs = (jnp.arange(t_enc, dtype=jnp.int32), alphas_next, alphas)
+    x_next, _ = jax.lax.scan(step, x0, xs)
+    return x_next
+
+
+def stochastic_encode(
+    x0: jnp.ndarray, t, sched: DDIMSchedule, noise: jnp.ndarray
+) -> jnp.ndarray:
+    """q_sample at a DDIM step index: fast, non-invertible noising
+    (ddim.py:292-306, use_original_steps=False).
+
+    :param t: int or [B] int — index into the t-ascending DDIM schedule
+    :param noise: same shape as x0 (the reference draws randn when None;
+        here the caller supplies it — explicit keys, jit-friendly)
+    """
+    _, asc_alphas, _, asc_sqrt_1m = _ascending(sched)
+    sqrt_a = jnp.sqrt(jnp.asarray(asc_alphas))
+    sqrt_1m = jnp.asarray(asc_sqrt_1m)
+    t = jnp.asarray(t, jnp.int32)
+    # extract_into_tensor: gather then broadcast over trailing dims
+    shape = (-1,) + (1,) * (x0.ndim - 1) if t.ndim else ()
+    sa = sqrt_a[t].reshape(shape) if t.ndim else sqrt_a[t]
+    s1m = sqrt_1m[t].reshape(shape) if t.ndim else sqrt_1m[t]
+    return sa * x0 + s1m * noise
+
+
+def ddim_decode(
+    eps_fn, x_latent: jnp.ndarray, sched: DDIMSchedule, t_start: int, key=None
+) -> jnp.ndarray:
+    """Run the DDIM sampling loop from noise level ``t_start`` down to 0
+    (ddim.py:308-326 ``decode``: p_sample_ddim over the truncated,
+    flipped schedule).
+
+    :param t_start: static int, 1..sched.num_steps — how many of the
+        schedule's (ascending) steps the latent currently sits above
+    :param key: PRNG key for the sigma noise term; None -> zeros (exact
+        for eta=0 schedules, where sigmas are identically 0)
+    """
+    if not (1 <= t_start <= sched.num_steps):
+        raise ValueError(f"t_start must be in [1, {sched.num_steps}], got {t_start}")
+    S = sched.num_steps
+    # descending arrays' tail == ascending[:t_start] flipped (decode's
+    # np.flip(timesteps[:t_start]))
+    sl = slice(S - t_start, None)
+    consts = (
+        jnp.arange(t_start, dtype=jnp.uint32),  # noise draw id
+        jnp.asarray(sched.timesteps[sl]),
+        jnp.asarray(sched.alphas[sl]),
+        jnp.asarray(sched.alphas_prev[sl]),
+        jnp.asarray(sched.sigmas[sl]),
+        jnp.asarray(sched.sqrt_one_minus_alphas[sl]),
+    )
+
+    def step(x, per):
+        draw, t, a_t, a_prev, sigma_t, sqrt_1m_a = per
+        e_t = eps_fn(x, t)
+        pred_x0 = (x - sqrt_1m_a * e_t) / jnp.sqrt(a_t)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
+        if key is not None:
+            noise = sigma_t * jax.random.normal(jax.random.fold_in(key, draw), x.shape)
+        else:
+            noise = 0.0
+        return jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise, None
+
+    x, _ = jax.lax.scan(step, x_latent, consts)
+    return x

@@ -122,11 +122,17 @@ class Validator:
                 feats, jnp.asarray(images), jnp.asarray(cameras["w2cs"][src]),
                 jnp.asarray(cameras["intrinsics"][src]), c2w[:3, 3], lod,
             )
+            # keep chunk outputs ON DEVICE — a per-chunk np.asarray is a
+            # host round-trip over the ~20 MB/s tunnel for every 1024 rays
             for k in outs:
-                outs[k].append(np.asarray(out[k], np.float32))
-        color = np.concatenate(outs["color"])[:n].reshape(H, W, 3)
-        depth = np.concatenate(outs["depth"])[:n].reshape(H, W)
-        normal = np.concatenate(outs["normal"])[:n].reshape(H, W, 3)
+                outs[k].append(out[k])
+        # one concatenate per key on device, ONE host fetch for the panel
+        fetched = jax.device_get(
+            {k: jnp.concatenate(v).astype(jnp.float32) for k, v in outs.items()}
+        )
+        color = fetched["color"][:n].reshape(H, W, 3)
+        depth = fetched["depth"][:n].reshape(H, W)
+        normal = fetched["normal"][:n].reshape(H, W, 3)
         return {"color": color, "depth": depth, "normal": normal}
 
     @staticmethod
