@@ -139,14 +139,16 @@ def _run_bench():
 
     # UNet-only MFU over the measured diffusion wall (analytic matmul/conv
     # FLOPs; VAE/CLIP excluded — they are <4% of stage time).  Evals:
-    # 2 stage-1 calls of 4 views x 77 steps, view-0 stage-2 4 views x 50,
-    # main stage-2 28 views x 50; CFG doubles every batch.
+    # 2 stage-1 calls of 4 views x 76 steps, view-0 stage-2 4 views x 49,
+    # main stage-2 28 views x 49; CFG doubles every batch.  (Requested
+    # 75/50 -> 77/50 schedule entries -> 76/49 executed: DDIMSampler.sample
+    # drops the last ascending timestep, diffusion/ddim.py::trim_for_sample.)
     from one2345_tpu.core.profiling import unet_flops_per_eval
 
     unet_flops = (
-        2 * 77 * unet_flops_per_eval(8)
-        + 50 * unet_flops_per_eval(8)
-        + 50 * unet_flops_per_eval(56)
+        2 * 76 * unet_flops_per_eval(8)
+        + 49 * unet_flops_per_eval(8)
+        + 49 * unet_flops_per_eval(56)
     )
     mfu = unet_flops / max(diffusion_secs, 1e-9) / 197e12  # v5e bf16 peak
     print(

@@ -61,6 +61,15 @@ def main():
         state, loss = trainer.train_step(state, frozen, batch, jax.random.key(i + 1))
     final = float(np.asarray(loss))
     dt = (time.perf_counter() - t0) / args.iters
+
+    hbm = {}
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+            if k in stats:
+                hbm[k.replace("bytes", "gib")] = round(stats[k] / 2**30, 2)
+    except Exception:  # noqa: BLE001 — memory_stats unsupported on some backends
+        pass
     print(json.dumps({
         "component": "zero123_train_step",
         "batch": B,
@@ -69,6 +78,7 @@ def main():
         "steps_per_sec": round(1.0 / dt, 3),
         "images_per_sec": round(B / dt, 2),
         "loss_finite": bool(np.isfinite(final)),
+        **hbm,
     }), flush=True)
 
 

@@ -55,9 +55,9 @@ class CLIPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
         x = x + CLIPAttention(self.heads, self.dtype, name="attn")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
         h = nn.Dense(x.shape[-1] * 4, dtype=self.dtype, name="fc")(h)
         h = QuickGELU()(h)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj")(h)
@@ -96,10 +96,10 @@ class CLIPVisionTower(nn.Module):
             "positional_embedding", nn.initializers.normal(0.02), (n + 1, self.width)
         )
         x = x + pos.astype(dt)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(dt)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(dt)
         for i in range(self.layers):
             x = CLIPBlock(self.heads, dt, name=f"resblock_{i}")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (self.width, self.embed_dim)
         )

@@ -104,31 +104,13 @@ def ddim_decode(
     :param key: PRNG key for the sigma noise term; None -> zeros (exact
         for eta=0 schedules, where sigmas are identically 0)
     """
-    if not (1 <= t_start <= sched.num_steps):
-        raise ValueError(f"t_start must be in [1, {sched.num_steps}], got {t_start}")
-    S = sched.num_steps
-    # descending arrays' tail == ascending[:t_start] flipped (decode's
-    # np.flip(timesteps[:t_start]))
-    sl = slice(S - t_start, None)
-    consts = (
-        jnp.arange(t_start, dtype=jnp.uint32),  # noise draw id
-        jnp.asarray(sched.timesteps[sl]),
-        jnp.asarray(sched.alphas[sl]),
-        jnp.asarray(sched.alphas_prev[sl]),
-        jnp.asarray(sched.sigmas[sl]),
-        jnp.asarray(sched.sqrt_one_minus_alphas[sl]),
-    )
+    from one2345_tpu.diffusion.ddim import ddim_sample, truncate_schedule
 
-    def step(x, per):
-        draw, t, a_t, a_prev, sigma_t, sqrt_1m_a = per
-        e_t = eps_fn(x, t)
-        pred_x0 = (x - sqrt_1m_a * e_t) / jnp.sqrt(a_t)
-        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
-        if key is not None:
-            noise = sigma_t * jax.random.normal(jax.random.fold_in(key, draw), x.shape)
-        else:
-            noise = 0.0
-        return jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise, None
+    noise_fn = None
+    if key is not None:
+        def noise_fn(draw, shape):
+            return jax.random.normal(jax.random.fold_in(key, draw), shape)
 
-    x, _ = jax.lax.scan(step, x_latent, consts)
-    return x
+    # the truncated loop IS the production DDIM loop (diffusion/ddim.py —
+    # shared with Zero123Stage._sample_views_jit) over the last t_start steps
+    return ddim_sample(eps_fn, x_latent, truncate_schedule(sched, t_start), noise_fn)

@@ -143,7 +143,7 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
         x = x + Attention(self.heads, self.dim_head, self.dtype, self.quant, name="attn1")(
             ln("norm1")(x).astype(self.dtype)
         )

@@ -174,10 +174,15 @@ class Zero123Stage:
 
     # ------------------------------------------------------------- sampling
     def _schedule(self, steps: int) -> DDIMSchedule:
+        from one2345_tpu.diffusion.ddim import trim_for_sample
+
         cfg = self.config
-        return make_ddim_schedule(
+        sched = make_ddim_schedule(
             steps, cfg.timesteps, cfg.ddim_eta, cfg.linear_start, cfg.linear_end
         )
+        # DDIMSampler.sample drops the last ascending timestep (t_start=-1
+        # slice, ddim.py:151) — S entries run S-1 steps; see trim_for_sample
+        return trim_for_sample(sched)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def encode_conditioning(self, params, cond_images, T):
@@ -315,6 +320,8 @@ class Zero123Stage:
 
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("cfg_scale",))
     def _sample_views_jit(self, params, cond_images, T, key, noise_ids, sched: DDIMSchedule, cfg_scale):
+        from one2345_tpu.diffusion.ddim import ddim_sample
+
         B = cond_images.shape[0]
         L = self.config.latent_size
         zc = self.config.vae.z_channels
@@ -326,34 +333,18 @@ class Zero123Stage:
 
         x = self._per_view_noise(key, noise_ids, 0, (L, L, zc))
 
-        consts = jax.tree_util.tree_map(
-            jnp.asarray,
-            (
-                jnp.arange(1, len(sched.timesteps) + 1),  # per-view noise draw id
-                sched.timesteps,
-                sched.alphas,
-                sched.alphas_prev,
-                sched.sigmas,
-                sched.sqrt_one_minus_alphas,
-            ),
-        )
-
-        def step(x, per_step):
-            draw, t, a_t, a_prev, sigma_t, sqrt_1m_a = per_step
+        def eps_fn(x, t):
             x_in = jnp.concatenate([x, x], axis=0)
             ts = jnp.full((2 * B,), t, jnp.int32)
             unet_in = jnp.concatenate([x_in, concat_in], axis=-1)
             e = self.unet.apply(params["unet"], unet_in, ts, ctx_in)
             e_uc, e_c = jnp.split(e, 2, axis=0)
-            e_t = e_uc + cfg_scale * (e_c - e_uc)
+            return e_uc + cfg_scale * (e_c - e_uc)
 
-            pred_x0 = (x - sqrt_1m_a * e_t) / jnp.sqrt(a_t)
-            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
-            noise = sigma_t * self._per_view_noise(key, noise_ids, draw, (L, L, zc))
-            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-            return x_prev, None
+        def noise_fn(draw, shape):
+            return self._per_view_noise(key, noise_ids, draw, shape[1:])
 
-        x, _ = jax.lax.scan(step, x, consts)
+        x = ddim_sample(eps_fn, x, sched, noise_fn)
 
         imgs = self.decoder.apply(params["decoder"], x / self.scale_factor)
         return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)

@@ -134,12 +134,12 @@ class LoFTREncoderLayer(nn.Module):
         v = v.reshape(B, -1, self.nhead, dh)
         msg = linear_attention(q, k, v).reshape(B, L, self.d_model)
         msg = nn.Dense(self.d_model, use_bias=False, dtype=dt, name="merge")(msg)
-        msg = nn.LayerNorm(dtype=jnp.float32, name="norm1")(msg).astype(dt)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(msg).astype(dt)
         h = jnp.concatenate([x, msg], axis=-1)
         h = nn.Dense(self.d_model * 2, use_bias=False, dtype=dt, name="mlp0")(h)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, use_bias=False, dtype=dt, name="mlp2")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(h).astype(dt)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(h).astype(dt)
         return x + h
 
 
@@ -156,9 +156,12 @@ class LocalFeatureTransformer(nn.Module):
             cross_layer = LoFTREncoderLayer(self.d_model, self.nhead, self.dtype, name=f"cross_{i}")
             feat0 = self_layer(feat0, feat0)
             feat1 = self_layer(feat1, feat1)
-            f0 = cross_layer(feat0, feat1)
-            f1 = cross_layer(feat1, feat0)
-            feat0, feat1 = f0, f1
+            # SEQUENTIAL cross updates (transformer.py:95-97): feat1 attends
+            # to the feat0 already updated THIS iteration, not the previous
+            # one — the parallel form drifts ~0.04% per pair and compounds
+            # (caught by tests/test_chain_parity.py::test_loftr_full_forward_parity)
+            feat0 = cross_layer(feat0, feat1)
+            feat1 = cross_layer(feat1, feat0)
         return feat0, feat1
 
 

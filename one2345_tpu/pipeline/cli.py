@@ -31,8 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("S1", "S2"),
                    help="override stage-1/stage-2 REQUESTED denoising step "
                         "counts (reference defaults: 75 50; the schedule's "
-                        "+1/divisor quirk makes requested 75 run 77 actual "
-                        "timesteps, matching the reference)")
+                        "+1/divisor quirk makes requested 75 yield 77 "
+                        "entries, and the sampler's drop-last quirk runs 76 "
+                        "of them, matching the reference)")
     p.add_argument("--quant", choices=["none", "int8"], default="none",
                    help="int8 = W8A8 quantized UNet fast mode (stacks with "
                         "--sampler dpmpp; quality unvalidated without real "
@@ -45,9 +46,10 @@ def apply_fast_modes(cfg, sampler="ddim", steps=None, quant="none"):
 
     ``steps`` are REQUESTED counts (the schedule rounds up to the next
     divisor of 1000 plus the +1 offset — the reference's requested 75
-    becomes 77 actual timesteps; see diffusion/schedule.py).  ``steps``
-    of None keeps the reference defaults (75, 50) for ddim/plms and uses
-    (30, 25) for dpmpp."""
+    becomes 77 schedule entries, of which the DDIM sampler executes 76;
+    see diffusion/schedule.py + diffusion/ddim.py::trim_for_sample).
+    ``steps`` of None keeps the reference defaults (75, 50) for ddim/plms
+    and uses (30, 25) for dpmpp."""
     if sampler not in ("ddim", "plms", "dpmpp"):
         raise ValueError(f"unknown sampler {sampler!r}: ddim|plms|dpmpp")
     if steps is None and sampler == "dpmpp":

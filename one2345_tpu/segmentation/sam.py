@@ -200,20 +200,20 @@ class TwoWayBlock(nn.Module):
             q = TwoWayAttention(self.dim, self.heads, name="self_attn")(
                 qq, qq, queries
             )
-        queries = nn.LayerNorm(name="norm1")(queries + q)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries + q)
 
         qq = queries + query_pe
         kk = keys + key_pe
         a = TwoWayAttention(self.dim, self.heads, 2, name="cross_attn_t2i")(qq, kk, keys)
-        queries = nn.LayerNorm(name="norm2")(queries + a)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm2")(queries + a)
 
         m = nn.Dense(2048, name="mlp_lin1")(queries)
         m = nn.Dense(self.dim, name="mlp_lin2")(nn.relu(m))
-        queries = nn.LayerNorm(name="norm3")(queries + m)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm3")(queries + m)
 
         qq = queries + query_pe
         a = TwoWayAttention(self.dim, self.heads, 2, name="cross_attn_i2t")(kk, qq, queries)
-        keys = nn.LayerNorm(name="norm4")(keys + a)
+        keys = nn.LayerNorm(epsilon=1e-5, name="norm4")(keys + a)
         return queries, keys
 
 
@@ -249,7 +249,7 @@ class SamMaskDecoder(nn.Module):
         qq = q + tokens
         kk = k + pe
         a = TwoWayAttention(self.dim, self.heads, 2, name="final_attn")(qq, kk, k)
-        q = nn.LayerNorm(name="norm_final")(q + a)
+        q = nn.LayerNorm(epsilon=1e-5, name="norm_final")(q + a)
 
         iou_out = q[:, 0]
         mask_out = q[:, 1 : 1 + self.num_mask_tokens]

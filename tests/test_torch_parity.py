@@ -26,6 +26,16 @@ torch_ref.setup()
 TOL = 2e-4
 
 
+@pytest.fixture(autouse=True)
+def _full_matmul_precision():
+    """XLA's DEFAULT matmul/conv precision is reduced (bf16-grade passes —
+    measured 2e-3 conv error on the CPU backend vs 8e-8 at HIGHEST).
+    Parity tests compare ALGORITHMS against torch's true-f32 kernels, so
+    pin full precision for every trace made inside a test."""
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
 def _max_err(a, b):
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
