@@ -123,3 +123,22 @@ def test_jittable():
     f = jax.jit(lambda x: ddim_decode(toy_eps, ddim_encode(toy_eps, x, SCHED, 5), SCHED, 5))
     out = f(X0)
     assert out.shape == X0.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_trim_for_sample_and_truncate():
+    """DDIMSampler.sample's drop-last slice (ddim.py:136,151): S entries run
+    S-1 steps; truncate keeps the LAST t_start sampling steps."""
+    from one2345_tpu.diffusion.ddim import trim_for_sample, truncate_schedule
+
+    sched = make_ddim_schedule(75)
+    trimmed = trim_for_sample(sched)
+    assert sched.num_steps == 77 and trimmed.num_steps == 76
+    assert trimmed.timesteps[0] == 976  # 989 dropped
+    np.testing.assert_array_equal(trimmed.timesteps, sched.timesteps[1:])
+    np.testing.assert_array_equal(trimmed.alphas, sched.alphas[1:])
+
+    tr = truncate_schedule(sched, 10)
+    np.testing.assert_array_equal(tr.timesteps, sched.timesteps[-10:])
+    for bad in (0, 78):
+        with pytest.raises(ValueError):
+            truncate_schedule(sched, bad)
