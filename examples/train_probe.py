@@ -28,11 +28,66 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def recon_probe(iters: int = 8):
+    """ReconTrainer.train_step at the production contract (512 rays,
+    96^3 volume, 64+64 samples, 32 source views at 256^2) — the per-step
+    cost behind the reference's 200k-iteration schedule
+    (exp_runner_generic_blender_train.py:211-403)."""
+    import jax
+    import jax.numpy as jnp
+
+    from one2345_tpu.core.config import ReconConfig
+    from one2345_tpu.recon.pipeline import ReconStage
+    from one2345_tpu.training.recon_trainer import ReconTrainer
+
+    cfg = ReconConfig()
+    stage = ReconStage(cfg, seed=0)
+    trainer = ReconTrainer(stage, cfg)
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    V, H, W, N = 33, 256, 256, cfg.n_rays
+    o = rng.normal(0, 1, (N, 3))
+    v = o / np.linalg.norm(o, axis=-1, keepdims=True)
+    scene = {
+        "images": jnp.asarray(rng.uniform(0, 1, (1, V, H, W, 3)), jnp.float32),
+        "affines": jnp.asarray(np.tile(np.eye(4), (1, V, 1, 1)), jnp.float32),
+        "w2cs": jnp.asarray(np.tile(np.eye(4), (1, V, 1, 1)), jnp.float32),
+        "intrinsics": jnp.asarray(np.tile(np.eye(3), (1, V, 1, 1)), jnp.float32),
+        "near_far": jnp.asarray([[0.5, 1.8]], jnp.float32),
+        "rays_o": jnp.asarray(-1.5 * v[None], jnp.float32),
+        "rays_v": jnp.asarray(v[None], jnp.float32),
+        "rays_color": jnp.asarray(rng.uniform(0, 1, (1, N, 3)), jnp.float32),
+        "rays_mask": jnp.ones((1, N, 1), jnp.float32),
+    }
+    state, metrics = trainer.train_step(state, scene, jax.random.key(0))
+    _ = np.asarray(metrics["loss"])  # drain
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = trainer.train_step(state, scene, jax.random.key(i + 1))
+    final = float(np.asarray(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "component": "recon_train_step",
+        "n_rays": N, "vol_dims": list(cfg.vol_dims), "views": V - 1,
+        "sec_per_step": round(dt, 4),
+        "steps_per_sec": round(1.0 / dt, 3),
+        "loss_finite": bool(np.isfinite(final)),
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--recon", action="store_true",
+                    help="probe the recon trainer instead of zero123")
     args = ap.parse_args()
+
+    if args.recon:
+        recon_probe(args.iters)
+        return
 
     from one2345_tpu.core.config import DiffusionConfig
     from one2345_tpu.diffusion.zero123 import Zero123Stage

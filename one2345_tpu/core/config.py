@@ -189,6 +189,10 @@ class ReconConfig(_ConfigBase):
     sdf_sparse_weight: float = 0.02
     sdf_decay_param: float = 100.0
     fg_bg_weight: float = 0.01
+    # the reference hard-codes "iter_step > 50000" before the mask loss
+    # kicks in (trainer_generic.py cal_losses_sdf) — sized for its 200k-iter
+    # schedule.  Short-schedule runs (overfit benchmarks) scale it down.
+    fg_bg_gate_iter: int = 50_000
     bg_ratio: float = 0.3
     # mesh extraction
     mesh_resolution: int = 256

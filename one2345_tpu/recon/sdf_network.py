@@ -230,7 +230,16 @@ class SdfVolumeNetwork(nn.Module):
             jnp.zeros((pts_flat.shape[0], C), jnp.float32),
             jnp.zeros((pts_flat.shape[0],), jnp.float32),
         )
-        (vol_sum, vol_sq, counts), _ = jax.lax.scan(view_step, init, (feats, projs))
+        # remat the per-view body: reverse-mode through the scan otherwise
+        # saves the bilinear-gather residuals for EVERY view (measured:
+        # ~20 x 108 MB f32/s32 [V, N_vox] buffers at the production
+        # 96^3 x 32-view contract — OOMs a 16 GB v5e chip).  Recomputing
+        # the projection+gather in the backward pass costs one extra scan
+        # forward and is invisible to inference (checkpoint is a no-op
+        # without differentiation).
+        (vol_sum, vol_sq, counts), _ = jax.lax.scan(
+            jax.checkpoint(view_step), init, (feats, projs)
+        )
 
         valid = counts >= 2.0  # minimum_visible_views culling (:330-334)
         if pre_mask is not None:

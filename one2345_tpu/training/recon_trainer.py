@@ -180,7 +180,9 @@ class ReconTrainer:
         # fg/bg mask loss, gated after 50k iters and only when the batch has
         # background rays (trainer_generic.py:1227-1248)
         fg_bg_weight = jnp.where(
-            step < 50_000, 0.0, self._anneal_weight(step, cfg.fg_bg_weight, lod)
+            step < cfg.fg_bg_gate_iter,
+            0.0,
+            self._anneal_weight(step, cfg.fg_bg_weight, lod),
         )
         has_bg = jnp.mean((mask < 0.5).astype(jnp.float32)) > 0.02
         fg_bg_loss = jnp.where(
