@@ -16,6 +16,12 @@ Phases (each skipped automatically when its output already exists):
      (preprocessed input, stage-1 grid, stage-2 grid, mesh.ply) for
      eyeball + regression comparison against the reference's outputs
   4. eval-sweep smoke on the in-tree backpack pair (CD / F-score harness)
+  5. fast-mode A/B: re-run the SAME input + seed with dpmpp 30/25 and
+     dpmpp+int8 and score each against the reference-semantics golden run
+     (mesh CD/F-score, stage-1 CLIP view similarity, wall seconds) — the
+     5.43 s / 8.3x headline validates itself the day real weights flow
+     (with random weights the numbers are protocol checks only, and the
+     report says so)
 
 Exit code 0 = every phase that could run succeeded.
 """
@@ -47,15 +53,15 @@ def phase_download(ckpt_dir: str, skip: bool) -> dict | None:
     }
     missing = sorted(set(CKPTS) - set(have))
     if not missing:
-        print(f"[1/4] download: all 4 checkpoints present in {ckpt_dir}")
+        print(f"[1/5] download: all 4 checkpoints present in {ckpt_dir}")
         return have
     if skip:
-        print(f"[1/4] download skipped; missing {missing}")
+        print(f"[1/5] download skipped; missing {missing}")
         return have or None
     try:
         return download_all(ckpt_dir)
     except DownloadError as e:
-        print(f"[1/4] download FAILED: {e}")
+        print(f"[1/5] download FAILED: {e}")
         print(f"      place the files in {ckpt_dir}/ and re-run.")
         return have or None
 
@@ -72,9 +78,9 @@ def phase_convert(paths: dict, params_dir: str) -> str | None:
     if os.path.isfile(manifest) and os.path.isdir(params_dir):
         with open(manifest) as f:
             if json.load(f) == want:
-                print(f"[2/4] convert: {params_dir} already covers {want}")
+                print(f"[2/5] convert: {params_dir} already covers {want}")
                 return params_dir
-        print("[2/4] convert: checkpoint set changed — reconverting")
+        print("[2/5] convert: checkpoint set changed — reconverting")
     from one2345_tpu.utils import convert_cli
 
     argv = ["--out", params_dir]
@@ -87,7 +93,7 @@ def phase_convert(paths: dict, params_dir: str) -> str | None:
         if name in paths:
             argv += [flag, paths[name]]
     if len(argv) == 2:
-        print("[2/4] convert: no checkpoints to convert")
+        print("[2/5] convert: no checkpoints to convert")
         return None
     convert_cli.main(argv)
     with open(manifest, "w") as f:
@@ -95,7 +101,8 @@ def phase_convert(paths: dict, params_dir: str) -> str | None:
     return params_dir
 
 
-def phase_golden_run(params_dir: str | None, work: str, img_path: str) -> bool:
+def phase_golden_run(params_dir: str | None, work: str, img_path: str):
+    """Returns (ok, preprocessed_image, baseline_result, params)."""
     from PIL import Image
 
     from one2345_tpu.core import checkpoint
@@ -105,7 +112,7 @@ def phase_golden_run(params_dir: str | None, work: str, img_path: str) -> bool:
 
     params = checkpoint.restore(params_dir) if params_dir else None
     if params is None:
-        print("[3/4] golden run on RANDOM weights (no converted params) — "
+        print("[3/5] golden run on RANDOM weights (no converted params) — "
               "timing/shape check only, outputs are not comparable")
     pipe = One2345Pipeline(PipelineConfig(), params, use_sam=True)
 
@@ -113,7 +120,7 @@ def phase_golden_run(params_dir: str | None, work: str, img_path: str) -> bool:
     if os.path.isfile(img_path) and os.path.getsize(img_path) > 10_000:
         raw = np.asarray(Image.open(img_path).convert("RGBA"))
     else:
-        print(f"[3/4] {img_path} unavailable (lfs stub?) — synthetic input")
+        print(f"[3/5] {img_path} unavailable (lfs stub?) — synthetic input")
         rng = np.random.default_rng(0)
         raw = np.full((512, 512, 4), 255, np.uint8)
         raw[128:384, 128:384, :3] = rng.uniform(40, 200, (256, 256, 3)).astype(np.uint8)
@@ -132,10 +139,77 @@ def phase_golden_run(params_dir: str | None, work: str, img_path: str) -> bool:
         os.path.join(out_dir, "stage2_grid.png")
     )
     print(
-        f"[3/4] golden run OK: elevation={result.elevation:.1f} deg, "
+        f"[3/5] golden run OK: elevation={result.elevation:.1f} deg, "
         f"{len(result.vertices)} verts -> {out_dir}/ "
         f"(timings {json.dumps({k: round(v, 2) for k, v in result.timings.items()})})"
     )
+    return True, pre, result, params
+
+
+def phase_fast_mode_ab(
+    params, work: str, pre: np.ndarray, baseline, make_config=None, scorer=None
+) -> bool:
+    """A/B the opt-in fast modes against the reference-semantics baseline.
+
+    Same preprocessed input, same seed; each mode re-runs the full
+    pipeline and is scored against the golden run's stage-1 views (CLIP
+    view similarity) and mesh (CD / F-score at matched resolution).
+
+    :param make_config: () -> PipelineConfig factory (tests inject tiny
+        model dims; production uses the full-size default)
+    :param scorer: optional pre-built ClipScorer (tests inject a tiny one)
+    """
+    import time
+
+    from one2345_tpu.core.config import PipelineConfig
+    from one2345_tpu.eval.clip_metric import ClipScorer
+    from one2345_tpu.eval.metrics import evaluate_mesh_pair
+    from one2345_tpu.pipeline.cli import apply_fast_modes
+    from one2345_tpu.pipeline.runner import One2345Pipeline
+
+    make_config = make_config or PipelineConfig
+    weights = "converted" if params is not None else "random"
+    if scorer is None:
+        clip_params = None
+        if params is not None and "zero123" in params:
+            clip_params = params["zero123"].get("clip")
+        scorer = ClipScorer(clip_params)
+    base_s1 = np.asarray(baseline.stage1_images)
+    base_emb = scorer.embed(base_s1)
+
+    base_secs = round(sum(baseline.timings.values()), 3) if baseline.timings else None
+    report = {"weights": weights, "baseline_secs": base_secs, "modes": {}}
+    for mode, kw in (
+        ("dpmpp", dict(sampler="dpmpp", quant="none")),
+        ("dpmpp_int8", dict(sampler="dpmpp", quant="int8")),
+    ):
+        cfg = apply_fast_modes(make_config(), steps=None, **kw)
+        pipe = One2345Pipeline(cfg, params, use_sam=False)
+        out_dir = _ensure(os.path.join(work, "ab", mode))
+        t0 = time.perf_counter()
+        res = pipe.run(pre, out_dir=out_dir, skip_preprocess=True, seed=0)
+        wall = time.perf_counter() - t0
+        emb = scorer.embed(np.asarray(res.stage1_images))
+        clip_sim = float(np.mean(np.sum(emb * base_emb, axis=-1)))
+        mesh = evaluate_mesh_pair(
+            np.asarray(res.vertices), np.asarray(res.faces),
+            np.asarray(baseline.vertices), np.asarray(baseline.faces),
+        )
+        report["modes"][mode] = {
+            "secs": round(wall, 3),
+            "clip_sim_stage1_vs_baseline": round(clip_sim, 4),
+            **{k: round(float(v), 5) for k, v in mesh.items()},
+        }
+        print(f"[5/5] {mode}: {json.dumps(report['modes'][mode])}")
+
+    out = os.path.join(work, "fast_mode_ab.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    if weights == "random":
+        print("[5/5] NOTE: random weights — the A/B above checks protocol "
+              "and wiring only; quality numbers are meaningful only with "
+              "converted checkpoints")
+    print(f"[5/5] fast-mode A/B -> {out}")
     return True
 
 
@@ -143,7 +217,7 @@ def phase_eval_sweep(work: str) -> bool:
     gt = os.path.join(REF_RENDER, "objaverse")
     pred = os.path.join(REF_RENDER, "ours")
     if not (os.path.isdir(gt) and os.path.isdir(pred)):
-        print("[4/4] eval sweep skipped: reference example meshes not mounted")
+        print("[4/5] eval sweep skipped: reference example meshes not mounted")
         return True
     from one2345_tpu.eval.sweep import run_sweep
 
@@ -151,7 +225,7 @@ def phase_eval_sweep(work: str) -> bool:
     out = os.path.join(work, "eval_sweep.json")
     with open(out, "w") as f:
         json.dump(table, f, indent=2)
-    print(f"[4/4] eval sweep -> {out}: {json.dumps(table)[:300]}")
+    print(f"[4/5] eval sweep -> {out}: {json.dumps(table)[:300]}")
     return True
 
 
@@ -179,8 +253,9 @@ def main(argv=None):
     if args.dry_run:
         print("dry run: stopping before the pipeline phases")
         return 0
-    ok = phase_golden_run(params_dir, work, args.img)
+    ok, pre, baseline, params = phase_golden_run(params_dir, work, args.img)
     ok = phase_eval_sweep(work) and ok
+    ok = phase_fast_mode_ab(params, work, pre, baseline) and ok
     return 0 if ok else 1
 
 
