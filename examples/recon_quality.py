@@ -71,6 +71,50 @@ def make_gt_sphere(n_lat: int = 24, n_lon: int = 48, radius: float = 0.45):
     return verts, faces, colors.astype(np.float32)
 
 
+def make_gt_box(half_extents=(0.35, 0.25, 0.45), n: int = 10):
+    """Axis-aligned ASYMMETRIC cuboid with n x n quads per face and the
+    same direction-coded colors as the sphere.  Second benchmark shape:
+    the SDF network's geometric init is a sphere by construction, so a
+    cuboid (sharp edges, three distinct half-extents, flat faces) proves
+    the pipeline learns geometry rather than riding the init prior."""
+    hx, hy, hz = half_extents
+    verts, faces = [], []
+    lin = np.linspace(-1.0, 1.0, n + 1)
+
+    def add_face(origin, du, dv):
+        base = len(verts)
+        for a in lin:
+            for b in lin:
+                verts.append(origin + a * du + b * dv)
+        for i in range(n):
+            for j in range(n):
+                k = base + i * (n + 1) + j
+                faces.append((k, k + n + 1, k + n + 2))
+                faces.append((k, k + n + 2, k + 1))
+
+    ex, ey, ez = (np.array([hx, 0, 0]), np.array([0, hy, 0]),
+                  np.array([0, 0, hz]))
+    add_face(ex, ey, ez)      # +x (winding is irrelevant: rasterizer is
+    add_face(-ex, ez, ey)     # -x  two-sided and normals are re-oriented
+    add_face(ey, ez, ex)      # +y  outward downstream)
+    add_face(-ey, ex, ez)     # -y
+    add_face(ez, ex, ey)      # +z
+    add_face(-ez, ey, ex)     # -z
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    colors = 0.5 + 0.5 * verts / np.maximum(
+        np.linalg.norm(verts, axis=1, keepdims=True), 1e-12)
+    return verts, faces, colors.astype(np.float32)
+
+
+def box_surface_distance(p: np.ndarray, half_extents=(0.35, 0.25, 0.45)):
+    """|SDF| of the axis-aligned box at points p [N,3] (exact)."""
+    q = np.abs(p) - np.asarray(half_extents, np.float32)
+    outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+    inside = np.minimum(np.max(q, axis=-1), 0.0)
+    return np.abs(outside + inside)
+
+
 def scaled_camera_pack(polar_deg: float, res: int) -> dict:
     """build_recon_cameras pack rescaled from its native 256^2 frame to
     res^2 (intrinsics and affines rows 0-1 scale linearly with K)."""
@@ -148,7 +192,8 @@ def bestview_vertex_colors(verts, normals, images, w2cs, intrinsics):
 
 
 def held_out_view_psnr(stage, images_src, pack, gt_verts, gt_faces, gt_colors,
-                       res: int, azimuth_deg: float = 22.5) -> tuple[float, float]:
+                       res: int, azimuth_deg: float = 22.5,
+                       lod: int = 0) -> tuple[float, float]:
     """Render a camera pose NOT in the training rig through the production
     Validator path and score PSNR against the rasterized GT at that pose —
     the novel-view generalization check (val_step protocol,
@@ -159,7 +204,16 @@ def held_out_view_psnr(stage, images_src, pack, gt_verts, gt_faces, gt_colors,
     dominated by the UNOBSERVABLE shell outside the camera ring (junk
     there occludes the background from novel poses until the SDF prior
     settles, which short CI schedules don't reach), while the object
-    region is covered by training rays and must be right at any scale."""
+    region is covered by training rays and must be right at any scale.
+
+    The held-out rays are CLIPPED to the observable ball |p| < 0.8 — the
+    same region the *_obs geometry metrics score.  Without the clip,
+    unobservable-shell junk sits between the novel camera and the object
+    (the rig cameras are at radius ~0.86, the shell right behind them)
+    and occludes the object region at short schedules, so the masked gate
+    would measure SDF-prior settling instead of learning (measured: at
+    300 CPU steps the trained-but-occluded render scored 8.8 dB masked vs
+    12.1 for the untrained geometric-init sphere's clean gray render)."""
     from one2345_tpu.eval.render_harness import rasterize
     from one2345_tpu.recon.validation import Validator
 
@@ -176,12 +230,17 @@ def held_out_view_psnr(stage, images_src, pack, gt_verts, gt_faces, gt_colors,
     pack_h = dict(pack)
     pack_h["c2ws"] = np.concatenate([c2w_h[None], pack["c2ws"][1:]])
     pack_h["w2cs"] = np.concatenate([w2c_h[None], pack["w2cs"][1:]])
+    cam_dist = float(np.linalg.norm(c2w_h[:3, 3]))
+    nf = np.array(pack["near_fars"], np.float32).copy()
+    nf[0] = (max(cam_dist - 0.8, 0.05), cam_dist + 0.8)
+    pack_h["near_fars"] = nf
 
     gt_rgb, gt_alpha = rasterize(
         gt_verts, gt_faces, gt_colors, pack["intrinsics"][0], w2c_h,
         res=res, shade=False,
     )
-    out = Validator(stage).render_view(images_src, pack_h, view_idx=0, H=res, W=res)
+    out = Validator(stage).render_view(
+        images_src, pack_h, view_idx=0, H=res, W=res, lod=lod)
     full = float(Validator.psnr(out["color"], gt_rgb))
     m = np.asarray(gt_alpha) > 0.5
     mse = float(np.mean((np.asarray(out["color"])[m] - gt_rgb[m]) ** 2))
@@ -191,7 +250,8 @@ def held_out_view_psnr(stage, images_src, pack, gt_verts, gt_faces, gt_colors,
 
 def run_finetune_phase(
     stage, images, alphas, pack, ft_steps: int, n_rays: int,
-    mesh_resolution: int, seed: int, radius: float, log_every: int = 100,
+    mesh_resolution: int, seed: int, gt_verts, gt_faces, surf_dist_fn,
+    log_every: int = 100,
 ) -> dict:
     """Per-shape finetune on top of the trained stage (the reference's `-ft`
     mode, sparse_sdf_network.py:548-781 + trainer's finetune branch):
@@ -287,7 +347,6 @@ def run_finetune_phase(
         "ft_pred_verts": int(len(pv)),
     }
     if len(pv) and len(faces):
-        gt_verts, gt_faces, _ = make_gt_sphere(radius=radius)
         pp = sample_surface(pv, faces, 16384, seed=0)
         gp = sample_surface(gt_verts, gt_faces, 16384, seed=1)
         out["ft_chamfer_l1"] = round(
@@ -304,8 +363,7 @@ def run_finetune_phase(
         # colors through the FINETUNED blending net (validate_colored_mesh's
         # finetune branch): normals from the finetuned SDF, per-view pixel
         # colors warped onto the surface, blend weights from the net
-        r = np.linalg.norm(pv, axis=1)
-        near = np.abs(r - radius) < 0.05
+        near = surf_dist_fn(pv) < 0.05
         if near.sum() > 100:
             pts_near = pv[near]
             H = W = res
@@ -336,7 +394,8 @@ def run_finetune_phase(
             pc = np.asarray(
                 cols[0] if len(cols) == 1 else jnp.concatenate(cols), np.float32
             )[: len(pts_near)]
-            want = 0.5 + 0.5 * pts_near / np.maximum(r[near, None], 1e-6)
+            rn = np.linalg.norm(pts_near, axis=1, keepdims=True)
+            want = 0.5 + 0.5 * pts_near / np.maximum(rn, 1e-6)
             out["ft_color_mae"] = round(float(np.abs(pc - want).mean()), 4)
     out["ft_secs"] = round(time.perf_counter() - t0, 1)
     return out
@@ -358,6 +417,8 @@ def run_benchmark(
     sphere_lon: int = 48,
     out_ply: str | None = None,
     ft_steps: int = 0,
+    num_lods: int = 1,
+    shape: str = "sphere",
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -369,12 +430,31 @@ def run_benchmark(
     from one2345_tpu.training.recon_trainer import ReconTrainer
 
     t_all = time.perf_counter()
-    gt_verts, gt_faces, gt_colors = make_gt_sphere(sphere_lat, sphere_lon, radius)
+    if shape == "sphere":
+        gt_verts, gt_faces, gt_colors = make_gt_sphere(
+            sphere_lat, sphere_lon, radius)
+        surf_dist_fn = lambda p: np.abs(np.linalg.norm(p, axis=1) - radius)
+    elif shape == "box":
+        gt_verts, gt_faces, gt_colors = make_gt_box()
+        surf_dist_fn = box_surface_distance
+    else:
+        raise ValueError(f"unknown shape {shape!r}")
     pack = scaled_camera_pack(90.0, res)
     images, alphas = render_views(gt_verts, gt_faces, gt_colors, pack, res)
-    print(f"data: 33 x {res}^2 renders of a {len(gt_verts)}-vert sphere "
+    print(f"data: 33 x {res}^2 renders of a {len(gt_verts)}-vert {shape} "
           f"({time.perf_counter() - t_all:.1f}s)", flush=True)
 
+    lod_extra = {}
+    if num_lods > 1:
+        # coarse-to-fine: fine lattice at 2x the coarse dims (the
+        # production ratio is 96 -> 192), lod1 anneal scaled like lod0's
+        assert ft_steps == 0, "the finetune phase is a lod0 flow"
+        lod_extra = dict(
+            num_lods=2,
+            lod1_vol_dims=(2 * vol, 2 * vol, 2 * vol),
+            lod1_voxel_size=2.0 / (2 * vol - 1),
+            anneal_end_lod1=max(steps // 3, 1),
+        )
     cfg = ReconConfig(
         image_hw=(res, res), vol_dims=(vol, vol, vol),
         voxel_size=2.0 / (vol - 1), n_rays=n_rays,
@@ -385,22 +465,31 @@ def run_benchmark(
         # the gate to this short schedule so background rays constrain
         # floaters (weights_sum -> 0 off-object) within the run
         fg_bg_gate_iter=max(steps // 10, 1),
+        **lod_extra,
     )
     stage = ReconStage(cfg, seed=seed)
     trainer = ReconTrainer(stage, cfg)
     state = trainer.init_state()
 
     pack_nm = {k: v for k, v in pack.items() if k not in ("scale_mat", "trans_mat")}
-    # random-init held-out render FIRST: the CI novel-view gate is RELATIVE
-    # on the OBJECT-MASKED score (trained must beat untrained by a clear
-    # margin).  Absolute full-frame dB at toy scale is backend-dependent
-    # (same config/seed: 16.1 TPU vs 8.8 CPU at 300 steps) and the
-    # untrained geometric-init SDF — a sphere by construction — renders a
-    # plausible blob that scores 12.0 full-frame, so only the masked
-    # trained-vs-untrained delta is a stable learning signal.
-    psnr_heldout_random, psnr_heldout_masked_random = held_out_view_psnr(
+    # random-init held-out renders FIRST: the CI novel-view gate is
+    # RELATIVE on the OBJECT-MASKED score (trained must beat untrained by
+    # a clear margin).  Absolute full-frame dB at toy scale is
+    # backend-dependent (same config/seed: 16.1 TPU vs 8.8 CPU at 300
+    # steps) and the untrained geometric-init SDF — a sphere by
+    # construction — renders a plausible blob that scores 12.0 full-frame,
+    # so only the masked trained-vs-untrained delta is a stable learning
+    # signal.  FOUR held-out azimuths, not one: the per-pose margin at
+    # short CPU schedules is noisy (single-pose margins 0.7-7 dB across
+    # backends at the same config/seed), the 4-pose mean is the gate.
+    fine_lod = 1 if num_lods > 1 else 0
+    heldout_az = (22.5, 120.0, 200.0, 292.5)
+    ho_rand = [held_out_view_psnr(
         stage, images[1:], pack_nm, gt_verts, gt_faces, gt_colors, res=res,
-    )
+        azimuth_deg=az, lod=fine_lod,
+    ) for az in heldout_az]
+    psnr_heldout_random = float(np.mean([h[0] for h in ho_rand]))
+    psnr_heldout_masked_random = float(np.mean([h[1] for h in ho_rand]))
 
     imgs_dev = jnp.asarray(images)
     scene_const = {
@@ -464,15 +553,16 @@ def run_benchmark(
 
     out: dict = {
         "steps": steps, "res": res, "vol_dims": vol, "n_rays": n_rays,
+        "num_lods": num_lods, "shape": shape,
         "train_secs": round(train_secs, 1),
         "sec_per_step": round(train_secs / steps, 4),
         "psnr_first": round(psnrs[0], 2), "psnr_last": round(psnrs[-1], 2),
         "pred_verts": int(len(pv)),
     }
     if len(pv):
-        # radius distribution of predicted vertices: GT is a sphere of
-        # `radius`, so p10/p50/p90 near that value = clean surface, a wide
-        # spread = floaters or scale error (diagnosis, also committed)
+        # radius distribution of predicted vertices: for the sphere GT,
+        # p10/p50/p90 near `radius` = clean surface, a wide spread =
+        # floaters or scale error (diagnosis only for the box shape)
         r_all = np.linalg.norm(pv, axis=1)
         out["pred_radius_p10"] = round(float(np.percentile(r_all, 10)), 4)
         out["pred_radius_p50"] = round(float(np.percentile(r_all, 50)), 4)
@@ -506,10 +596,10 @@ def run_benchmark(
             out["f_score_10_obs"] = round(float(f_score(pp[obs], gp, 0.10)), 4)
         # color agreement at predicted vertices near the GT surface: the
         # analytic color field is c(p) = 0.5 + 0.5 * p/|p|
-        r = np.linalg.norm(pv, axis=1)
-        near = np.abs(r - radius) < 0.05
+        near = surf_dist_fn(pv) < 0.05
         if near.sum() > 100:
-            want = 0.5 + 0.5 * pv[near] / np.maximum(r[near, None], 1e-6)
+            rn = np.linalg.norm(pv[near], axis=1, keepdims=True)
+            want = 0.5 + 0.5 * pv[near] / np.maximum(rn, 1e-6)
             # production path (learned blending net fed surface normals —
             # the reference's compute_view_independent, projector.py:231-425).
             # At toy single-scene scale the blending net sees normals as an
@@ -526,21 +616,26 @@ def run_benchmark(
                 pack["w2cs"][1:], pack["intrinsics"][1:],
             )
             out["color_mae_bestview"] = round(float(np.abs(oc - want).mean()), 4)
-        # novel-view generalization: render a pose NOT in the training rig
+        # novel-view generalization: render poses NOT in the training rig
         # through the production Validator path, PSNR vs the rasterized GT
-        # (paired with the random-init render of the same pose from above)
-        ho_full, ho_masked = held_out_view_psnr(
-            stage_trained, images[1:], pack_nm, gt_verts, gt_faces, gt_colors,
-            res=res,
-        )
-        out["psnr_heldout"] = round(ho_full, 2)
-        out["psnr_heldout_masked"] = round(ho_masked, 2)
+        # (paired with the random-init renders of the same poses above);
+        # reported values are 4-azimuth means, *_min the worst pose margin
+        ho_tr = [held_out_view_psnr(
+            stage_trained, images[1:], pack_nm, gt_verts, gt_faces,
+            gt_colors, res=res, azimuth_deg=az, lod=fine_lod,
+        ) for az in heldout_az]
+        out["psnr_heldout"] = round(float(np.mean([h[0] for h in ho_tr])), 2)
+        out["psnr_heldout_masked"] = round(
+            float(np.mean([h[1] for h in ho_tr])), 2)
         out["psnr_heldout_random"] = round(psnr_heldout_random, 2)
         out["psnr_heldout_masked_random"] = round(psnr_heldout_masked_random, 2)
+        out["heldout_margin_min"] = round(float(min(
+            t[1] - r[1] for t, r in zip(ho_tr, ho_rand))), 2)
     if ft_steps > 0:
         out.update(run_finetune_phase(
             stage_trained, images, alphas, pack_nm, ft_steps, n_rays,
-            mesh_resolution, seed, radius, log_every,
+            mesh_resolution, seed, gt_verts, gt_faces, surf_dist_fn,
+            log_every,
         ))
     out["total_secs"] = round(time.perf_counter() - t_all, 1)
     return out
@@ -556,11 +651,17 @@ def main(argv=None):
     p.add_argument("--ply", default=None, help="save the reconstructed mesh")
     p.add_argument("--ft-steps", type=int, default=0,
                    help="per-shape finetune steps after recon (0 = off)")
+    p.add_argument("--lods", type=int, default=1, choices=(1, 2),
+                   help="2 = coarse-to-fine (lod1) training + reconstruction")
+    p.add_argument("--shape", default="sphere", choices=("sphere", "box"),
+                   help="GT shape (box = asymmetric cuboid, breaks the "
+                        "sphere-init prior)")
     args = p.parse_args(argv)
 
     out = run_benchmark(steps=args.steps, res=args.res, vol=args.vol,
                         n_rays=args.rays, out_ply=args.ply,
-                        ft_steps=args.ft_steps)
+                        ft_steps=args.ft_steps, num_lods=args.lods,
+                        shape=args.shape)
     print(json.dumps(out), flush=True)
     if args.json:
         with open(args.json, "w") as f:
