@@ -492,11 +492,14 @@ def run_benchmark(
     psnr_heldout_masked_random = float(np.mean([h[1] for h in ho_rand]))
 
     imgs_dev = jnp.asarray(images)
+    # source set = images[1:]: mirror the production 32-source contract
+    # (reconstruct() and held_out_view_psnr condition on images[1:]; view 0
+    # is the query-only view and must not leak into the source volume)
     scene_const = {
-        "images": imgs_dev[None],
-        "affines": jnp.asarray(pack["affines"])[None],
-        "w2cs": jnp.asarray(pack["w2cs"])[None],
-        "intrinsics": jnp.asarray(pack["intrinsics"])[None],
+        "images": imgs_dev[1:][None],
+        "affines": jnp.asarray(pack["affines"][1:])[None],
+        "w2cs": jnp.asarray(pack["w2cs"][1:])[None],
+        "intrinsics": jnp.asarray(pack["intrinsics"][1:])[None],
         "near_far": jnp.asarray(pack["query_near_far"], jnp.float32)[None],
     }
     # supervision rays must come from MANY viewpoints: a single fixed

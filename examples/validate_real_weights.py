@@ -195,8 +195,14 @@ def phase_fast_mode_ab(
             np.asarray(res.vertices), np.asarray(res.faces),
             np.asarray(baseline.vertices), np.asarray(baseline.faces),
         )
+        # secs on the SAME basis as baseline_secs: the run's internal stage
+        # timings, which exclude the fresh pipeline's one-off TPU compile
+        # (tens of seconds; a perf_counter wall around the first run is not
+        # apples-to-apples with the golden run's warm numbers)
+        mode_secs = round(sum(res.timings.values()), 3) if res.timings else None
         report["modes"][mode] = {
-            "secs": round(wall, 3),
+            "secs": mode_secs,
+            "first_run_wall_secs": round(wall, 3),
             "clip_sim_stage1_vs_baseline": round(clip_sim, 4),
             **{k: round(float(v), 5) for k, v in mesh.items()},
         }

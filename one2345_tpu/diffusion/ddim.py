@@ -69,7 +69,7 @@ def trim_for_sample(sched: DDIMSchedule) -> DDIMSchedule:
     """
     import numpy as np
 
-    return DDIMSchedule(*(np.asarray(a)[1:] for a in sched))
+    return DDIMSchedule(*(np.asarray(a)[1:] for a in sched.arrays), trimmed=True)
 
 
 def truncate_schedule(sched: DDIMSchedule, t_start: int) -> DDIMSchedule:
@@ -80,4 +80,4 @@ def truncate_schedule(sched: DDIMSchedule, t_start: int) -> DDIMSchedule:
     if not (1 <= t_start <= sched.num_steps):
         raise ValueError(f"t_start must be in [1, {sched.num_steps}], got {t_start}")
     sl = slice(sched.num_steps - t_start, None)
-    return DDIMSchedule(*(np.asarray(a)[sl] for a in sched))
+    return DDIMSchedule(*(np.asarray(a)[sl] for a in sched.arrays), trimmed=sched.trimmed)

@@ -31,6 +31,13 @@ def _ascending(sched: DDIMSchedule):
     """The schedule arrays in t-ascending order (the construction order of
     the reference's ddim_alphas / ddim_alphas_prev, before the sampling
     flip)."""
+    if sched.trimmed:
+        raise ValueError(
+            "img2img encode/decode take an UNTRIMMED make_ddim_schedule() "
+            "output; this schedule went through trim_for_sample (the "
+            "DDIMSampler.sample drop-last quirk, e.g. Zero123Stage._schedule) "
+            "and would diverge from the reference encode/decode by one step."
+        )
     rev = slice(None, None, -1)
     return (
         np.asarray(sched.timesteps[rev]),
@@ -106,6 +113,12 @@ def ddim_decode(
     """
     from one2345_tpu.diffusion.ddim import ddim_sample, truncate_schedule
 
+    if sched.trimmed:
+        raise ValueError(
+            "ddim_decode takes an UNTRIMMED make_ddim_schedule() output "
+            "(t_start indexes the full ascending schedule); got a "
+            "trim_for_sample'd one."
+        )
     noise_fn = None
     if key is not None:
         def noise_fn(draw, shape):

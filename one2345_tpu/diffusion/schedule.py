@@ -34,10 +34,19 @@ class DDIMSchedule(NamedTuple):
     alphas_prev: np.ndarray  # [S] a_{t-1}
     sigmas: np.ndarray  # [S]
     sqrt_one_minus_alphas: np.ndarray  # [S]
+    # True once trim_for_sample dropped the highest-noise entry (the
+    # DDIMSampler.sample t_start=-1 quirk).  img2img encode/decode assume
+    # the UNTRIMMED construction-order schedule and refuse trimmed ones.
+    trimmed: bool = False
 
     @property
     def num_steps(self) -> int:
         return len(self.timesteps)
+
+    @property
+    def arrays(self):
+        """The five per-step array fields (excludes the trimmed flag)."""
+        return self[:5]
 
 
 def make_ddim_schedule(
