@@ -327,6 +327,13 @@ def run_benchmark(
     samples = sample_held(stage_trained)
     sample_secs = time.perf_counter() - t0
 
+    # diagnostic: live (non-EMA) weights through the same path — separates
+    # "model didn't learn" from "EMA lags" (LitEma warmup, ema.py:26-30)
+    params_live = dict(stage.params)
+    params_live["unet"] = state.params["unet"]
+    params_live["cc_projection"] = state.params["cc_projection"]
+    samples_live = sample_held(Zero123Stage(cfg, params=params_live))
+
     if out_png is not None:
         from PIL import Image
 
@@ -340,6 +347,7 @@ def run_benchmark(
     H = len(held_deltas)
     psnr_tr = [psnr01(samples[i], held_gt01[i]) for i in range(H)]
     psnr_un = [psnr01(samples_untrained[i], held_gt01[i]) for i in range(H)]
+    psnr_lv = [psnr01(samples_live[i], held_gt01[i]) for i in range(H)]
     ssim_tr = [ssim01(samples[i], held_gt01[i]) for i in range(H)]
 
     # cross-pose discrimination: sample(d_i) must be closest to GT(d_i).
@@ -361,6 +369,7 @@ def run_benchmark(
         "psnr_heldout": round(float(np.mean(psnr_tr)), 2),
         "psnr_heldout_min": round(float(np.min(psnr_tr)), 2),
         "psnr_heldout_untrained": round(float(np.mean(psnr_un)), 2),
+        "psnr_heldout_live": round(float(np.mean(psnr_lv)), 2),
         "ssim_heldout": round(float(np.mean(ssim_tr)), 4),
         "pose_hits": pose_hits,
         "pose_margin_db": round(pose_margin, 2),

@@ -147,7 +147,14 @@ class Zero123Trainer:
         loss, grads = jax.value_and_grad(self.loss_fn)(state.params, frozen, batch, key)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        d = self.ema_decay
+        # LitEma decay warmup (ldm/modules/ema.py:26-30): decay ramps as
+        # (1+n)/(10+n) toward the configured value, so the early EMA tracks
+        # the live weights instead of retaining the random init — with a
+        # FIXED 0.9999 the shadow still holds 0.9999^6000 = 55% of the
+        # initial weights after 6k steps (measured: garbage EMA samples
+        # from a fully converged trainer in examples/diffusion_quality.py)
+        n = (state.step + 1).astype(jnp.float32)
+        d = jnp.minimum(self.ema_decay, (1.0 + n) / (10.0 + n))
         ema = jax.tree_util.tree_map(
             lambda e, p: d * e + (1.0 - d) * p, state.ema_params, params
         )
