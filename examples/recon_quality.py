@@ -419,6 +419,7 @@ def run_benchmark(
     ft_steps: int = 0,
     num_lods: int = 1,
     shape: str = "sphere",
+    normal_query_prob: float = 0.0,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -465,6 +466,7 @@ def run_benchmark(
         # the gate to this short schedule so background rays constrain
         # floaters (weights_sum -> 0 off-object) within the run
         fg_bg_gate_iter=max(steps // 10, 1),
+        normal_query_prob=normal_query_prob,
         **lod_extra,
     )
     stage = ReconStage(cfg, seed=seed)
@@ -557,6 +559,7 @@ def run_benchmark(
     out: dict = {
         "steps": steps, "res": res, "vol_dims": vol, "n_rays": n_rays,
         "num_lods": num_lods, "shape": shape,
+        "normal_query_prob": normal_query_prob,
         "train_secs": round(train_secs, 1),
         "sec_per_step": round(train_secs / steps, 4),
         "psnr_first": round(psnrs[0], 2), "psnr_last": round(psnrs[-1], 2),
@@ -659,12 +662,17 @@ def main(argv=None):
     p.add_argument("--shape", default="sphere", choices=("sphere", "box"),
                    help="GT shape (box = asymmetric cuboid, breaks the "
                         "sphere-init prior)")
+    p.add_argument("--normal-query-prob", type=float, default=0.0,
+                   help="fraction of training rays queried with surface "
+                        "normals (the mesh-color pass's direction regime; "
+                        "ReconConfig.normal_query_prob)")
     args = p.parse_args(argv)
 
     out = run_benchmark(steps=args.steps, res=args.res, vol=args.vol,
                         n_rays=args.rays, out_ply=args.ply,
                         ft_steps=args.ft_steps, num_lods=args.lods,
-                        shape=args.shape)
+                        shape=args.shape,
+                        normal_query_prob=args.normal_query_prob)
     print(json.dumps(out), flush=True)
     if args.json:
         with open(args.json, "w") as f:

@@ -170,6 +170,11 @@ class ReconConfig(_ConfigBase):
     alpha_type: str = "div"
     variance_init_val: float = 0.2
     use_white_bkgd: bool = True
+    # training-regime extension (0.0 = reference semantics): fraction of
+    # training rays that query the blending net with the surface normal —
+    # the direction the mesh-coloring pass uses (renderer.RenderParams.
+    # normal_query_prob has the full rationale)
+    normal_query_prob: float = 0.0
     # losses / training (one2345_lod0_val_demo.conf:35-56)
     learning_rate: float = 2e-4
     end_iter: int = 200_000

@@ -34,6 +34,17 @@ class RenderParams(NamedTuple):
     perturb: bool = False
     alpha_inter_ratio: float = 0.0
     background_rgb: float | None = None  # scalar (white = 1.0)
+    # Training-regime extension (off by default = reference semantics):
+    # probability that a training ray queries the blending net with the
+    # SURFACE NORMAL instead of the direction to the query camera.  The
+    # mesh-coloring pass (ReconStage.color_chunk, replicating
+    # compute_view_independent, projector.py:346-353) always queries with
+    # normals — a direction distribution the reference trainer never
+    # supervises.  For Lambertian appearance the observed pixel color is
+    # direction-independent, so supervising normal-queried renders against
+    # the same pixels is exact and puts the production color path
+    # in-distribution (see docs/recon_quality.md).
+    normal_query_prob: float = 0.0
 
 
 def pts_mask_from_volume(pts: jnp.ndarray, mask_volume: jnp.ndarray) -> jnp.ndarray:
@@ -247,6 +258,21 @@ def render_rays(
     else:
         ray2tar = query_cam_center[None, :] - flat
         ray2tar = ray2tar / (jnp.linalg.norm(ray2tar, axis=-1, keepdims=True) + 1e-6)
+        if params.normal_query_prob > 0.0 and key is not None:
+            # per-ray Bernoulli mix of camera directions and surface
+            # normals (see RenderParams.normal_query_prob); normals at
+            # masked samples are zero vectors, which those samples' masks
+            # already exclude from the blend
+            normals = gradients * jax.lax.rsqrt(
+                jnp.sum(gradients**2, axis=-1, keepdims=True) + 1e-12
+            )
+            use_n = jax.random.bernoulli(
+                jax.random.fold_in(key, 101),
+                params.normal_query_prob,
+                (N_rays, 1, 1),
+            )
+            use_n = jnp.broadcast_to(use_n, (N_rays, n_total, 1)).reshape(-1, 1)
+            ray2tar = jnp.where(use_n, jax.lax.stop_gradient(normals), ray2tar)
         geo_feat, rgb_feat, ray_diff, ren_mask = projector_features(
             pts, volume, mask_volume, feature_maps, color_maps, w2cs, intrinsics,
             size_hw, ray2tar,

@@ -146,6 +146,7 @@ class ReconTrainer:
                 perturb=True,
                 alpha_inter_ratio=self.alpha_inter_ratio(step, lod),
                 background_rgb=1.0 if cfg.use_white_bkgd else None,
+                normal_query_prob=cfg.normal_query_prob,
             ),
             key=key,
         )
