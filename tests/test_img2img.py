@@ -142,3 +142,20 @@ def test_trim_for_sample_and_truncate():
     for bad in (0, 78):
         with pytest.raises(ValueError):
             truncate_schedule(sched, bad)
+
+
+def test_img2img_refuses_trimmed_schedules():
+    """encode/decode assume the UNTRIMMED construction-order schedule
+    (reference ddim.py:245-326 lacks the sample() drop-last quirk); feeding
+    them a trim_for_sample'd one (e.g. Zero123Stage._schedule) must be a
+    loud error, not a silent one-step divergence."""
+    from one2345_tpu.diffusion.ddim import trim_for_sample, truncate_schedule
+
+    trimmed = trim_for_sample(SCHED)
+    with pytest.raises(ValueError, match="UNTRIMMED"):
+        ddim_encode(toy_eps, X0, trimmed, 5)
+    with pytest.raises(ValueError, match="UNTRIMMED"):
+        ddim_decode(toy_eps, X0, trimmed, 5)
+    # the flag survives truncation, so a truncated-trimmed schedule is
+    # refused too
+    assert truncate_schedule(trimmed, 5).trimmed is True
