@@ -104,6 +104,77 @@ def test_render_sphere_depth_and_weights():
     np.testing.assert_allclose(np.asarray(out["color_fine"]), 0.5, atol=0.05)
 
 
+def _dirsens_color_net(geo, rgb, rd, mask):
+    """Color net whose output depends ONLY on the ray-diff features, so a
+    change in the blending query direction (ray2tar) changes the color."""
+    Nr, Ns = geo.shape[:2]
+    c = jnp.mean(rd, axis=(0, 3))  # [Nr, Ns]
+    return jnp.stack([c, c, c], axis=-1), jnp.ones((Nr, 1), bool)
+
+
+def test_normal_query_prob_mixes_query_direction():
+    """RenderParams.normal_query_prob: 0.0 (default) must be bit-identical
+    to the reference regime (direction-to-camera queries) with or without a
+    key; 1.0 must swap the query to the surface normal — changing blended
+    color on geometry where normal != camera direction — while leaving the
+    geometry outputs (depth, weights) untouched, and be key-deterministic."""
+    s = _scene(4)
+    # off-axis query camera: rays hit the sphere near (0,0,0.5) where the
+    # normal ~ +z, while direction-to-camera ~ +x — maximally distinct
+    qc = jnp.array([1.5, 0.0, 0.5])
+
+    def run(params, key=None):
+        return render_rays(
+            _sphere_sdf,
+            _sphere_sdf_grad,
+            _dirsens_color_net,
+            jnp.asarray(2000.0),
+            s["rays_o"],
+            s["rays_d"],
+            s["near"],
+            s["far"],
+            s["volume"],
+            s["mask_volume"],
+            s["feature_maps"],
+            s["color_maps"],
+            s["w2cs"],
+            s["intrinsics"],
+            s["size_hw"],
+            qc,
+            params,
+            key=key,
+        )
+
+    base = RenderParams(n_samples=32, n_importance=32, background_rgb=1.0)
+    key = jax.random.key(7)
+    out_ref = run(base)
+    out_p0 = run(base, key=key)
+    out_p1 = run(base._replace(normal_query_prob=1.0), key=key)
+    out_p1b = run(base._replace(normal_query_prob=1.0), key=key)
+
+    # prob=0.0 is the reference regime, key or not — bit identical
+    np.testing.assert_array_equal(
+        np.asarray(out_ref["color_fine"]), np.asarray(out_p0["color_fine"])
+    )
+    # key-deterministic
+    np.testing.assert_array_equal(
+        np.asarray(out_p1["color_fine"]), np.asarray(out_p1b["color_fine"])
+    )
+    # normal queries change the blend input -> color moves
+    dc = np.abs(
+        np.asarray(out_p1["color_fine"]) - np.asarray(out_p0["color_fine"])
+    ).max()
+    assert dc > 1e-3, f"normal-query path did not alter ray_diff colors ({dc=})"
+    # ...but never the geometry
+    np.testing.assert_allclose(
+        np.asarray(out_p1["depth"]), np.asarray(out_p0["depth"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p1["weights_sum"]), np.asarray(out_p0["weights_sum"]),
+        atol=1e-6,
+    )
+
+
 def test_render_miss_is_background():
     s = _scene(2)
     rays_d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (2, 1))  # miss the sphere
