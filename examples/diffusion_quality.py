@@ -200,6 +200,7 @@ def run_benchmark(
     log_every: int = 200,
     sampler: str = "ddim",
     out_png: str | None = None,
+    eval_variants: tuple = (),
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -274,10 +275,11 @@ def run_benchmark(
         np.tile((cond01 * 2.0 - 1.0)[None], (len(held_deltas), 1, 1, 1)))
     k_sample = jax.random.key(seed + 77)
 
-    def sample_held(st):
+    def sample_held(st, steps_=None, sampler_=None):
         out = st.sample_views(
             cond_batch, held_T[:, 0], held_T[:, 1], k_sample,
-            steps=sample_steps, cfg_scale=cfg_scale, sampler=sampler,
+            steps=steps_ or sample_steps, cfg_scale=cfg_scale,
+            sampler=sampler_ or sampler,
         )
         return np.asarray(out, np.float32)
 
@@ -379,6 +381,48 @@ def run_benchmark(
         "sample_secs": round(sample_secs, 1),
         "total_secs": round(time.perf_counter() - t_all, 1),
     }
+
+    # ---- optional fast-mode quality A/B: the SAME trained EMA weights
+    # sampled through each opt-in serving variant (sampler/steps/int8 —
+    # the docs/diffusion_profile.md fast stack), scored on the identical
+    # held-out protocol.  This is the in-env quality validation the fast
+    # modes couldn't have without real checkpoints (CLAUDE.md perf queue
+    # 5b caveat).
+    if eval_variants:
+        from dataclasses import replace as _dc_replace
+
+        out["variants"] = {}
+        for v in eval_variants:
+            cfg_v = cfg
+            if v.get("quant"):
+                cfg_v = _dc_replace(
+                    cfg, unet=_dc_replace(cfg.unet, quant=v["quant"]))
+            st_v = Zero123Stage(cfg_v, params=dict(params_ema))
+            t0 = time.perf_counter()
+            s_v = sample_held(st_v, steps_=v.get("sample_steps"),
+                              sampler_=v.get("sampler"))
+            secs_v = time.perf_counter() - t0
+            psnr_v = [psnr01(s_v[i], held_gt01[i]) for i in range(H)]
+            cross_v = np.array(
+                [[psnr01(s_v[i], held_gt01[j]) for j in range(H)]
+                 for i in range(H)])
+            off_v = (cross_v.sum(axis=1) - np.diag(cross_v)) / (H - 1)
+            res_v = {
+                "sampler": v.get("sampler") or sampler,
+                "sample_steps": v.get("sample_steps") or sample_steps,
+                "quant": v.get("quant", "none"),
+                "psnr_heldout": round(float(np.mean(psnr_v)), 2),
+                "psnr_heldout_min": round(float(np.min(psnr_v)), 2),
+                "ssim_heldout": round(float(np.mean(
+                    [ssim01(s_v[i], held_gt01[i]) for i in range(H)])), 4),
+                "pose_hits": int(np.sum(
+                    np.argmax(cross_v, axis=1) == np.arange(H))),
+                "pose_margin_db": round(
+                    float(np.mean(np.diag(cross_v) - off_v)), 2),
+                "sample_secs": round(secs_v, 1),
+            }
+            out["variants"][v["label"]] = res_v
+            print(json.dumps({v["label"]: res_v}), flush=True)
     return out
 
 
@@ -392,12 +436,30 @@ def main(argv=None):
     p.add_argument("--sampler", default="ddim", choices=("ddim", "plms", "dpmpp"))
     p.add_argument("--json", default=None)
     p.add_argument("--png", default=None, help="save samples/GT/untrained grid")
+    p.add_argument("--fast-variants", action="store_true",
+                   help="also score the opt-in fast serving stack "
+                        "(dpmpp / reduced steps / int8) on the same "
+                        "held-out protocol")
     args = p.parse_args(argv)
+
+    variants = ()
+    if args.fast_variants:
+        # mirrors the shipped fast stack (cli --sampler dpmpp --quant int8,
+        # a ~2.5x step cut like 77/50 -> 30/25 at production scale)
+        fast_steps = max(args.sample_steps * 2 // 5, 4)
+        variants = (
+            {"label": "dpmpp_same_steps", "sampler": "dpmpp"},
+            {"label": "dpmpp_fast", "sampler": "dpmpp",
+             "sample_steps": fast_steps},
+            {"label": "int8", "quant": "int8"},
+            {"label": "int8_dpmpp_fast", "sampler": "dpmpp",
+             "sample_steps": fast_steps, "quant": "int8"},
+        )
 
     out = run_benchmark(steps=args.steps, res=args.res, batch=args.batch,
                         vae_steps=args.vae_steps,
                         sample_steps=args.sample_steps, sampler=args.sampler,
-                        out_png=args.png)
+                        out_png=args.png, eval_variants=variants)
     print(json.dumps(out), flush=True)
     if args.json:
         with open(args.json, "w") as f:
