@@ -245,11 +245,13 @@ def run_benchmark(polar: float = 75.0, size: int = 64, batch: int = 16,
         res = pipe.run(input_img, skip_preprocess=True, seed=seed,
                        mesh_resolution=mesh_resolution)
         secs = time.perf_counter() - t0
-        score = score_mesh_vs_world_box(res.vertices, res.faces)
+        src = np.asarray(res.stage2_images).reshape(32, size, size, 3)
+        score = score_mesh_vs_world_box(
+            res.vertices, res.faces, colors=res.colors, images=src,
+            pack=pack, size=size)
         # sample quality along the way: the 32 source rows handed to recon
         # vs GT rasters at the pack poses (tier-A comparator, now
         # generative), and the 8 stage-1 samples vs their GT renders
-        src = np.asarray(res.stage2_images).reshape(32, size, size, 3)
         s2_psnr = [_psnr01(src[k], gt_imgs[1 + k]) for k in range(32)]
         s1 = np.asarray(res.stage1_images)
         s1_psnr = [_psnr01(s1[k], images[1 + k]) for k in range(s1.shape[0])]

@@ -230,9 +230,17 @@ def wiring_check(polar: float = 75.0, size: int = 256,
 def train_recon_on_pack(pack, images, alphas, steps: int, n_rays: int,
                         vol: int, seed: int = 0, lr: float = 1e-3,
                         log_every: int = 100, n_samples: int = 48,
-                        n_importance: int = 48, mesh_resolution: int = 128):
+                        n_importance: int = 48, mesh_resolution: int = 128,
+                        normal_query_prob: float = 0.5):
     """ReconStage trained on the pack views (recon_quality protocol at the
-    production rig).  Returns the trained stage."""
+    production rig).  Returns the trained stage.
+
+    ``normal_query_prob=0.5`` (benchmark default) mixes surface-normal
+    query directions into color supervision so the production
+    view-independent mesh-color pass is in-distribution at toy scale
+    (docs/recon_quality.md round-5 A/B: blend MAE 0.243 -> 0.096, geometry
+    unchanged-or-better); the PACKAGE default stays 0.0 = reference
+    semantics."""
     import jax
     import jax.numpy as jnp
 
@@ -249,6 +257,7 @@ def train_recon_on_pack(pack, images, alphas, steps: int, n_rays: int,
         learning_rate=lr, anneal_end=max(steps // 3, 1),
         end_iter=steps, mesh_resolution=mesh_resolution,
         fg_bg_gate_iter=max(steps // 10, 1),
+        normal_query_prob=normal_query_prob,
     )
     stage = ReconStage(cfg, seed=seed)
     trainer = ReconTrainer(stage, cfg)
@@ -293,17 +302,59 @@ def train_recon_on_pack(pack, images, alphas, steps: int, n_rays: int,
     return ReconStage(cfg, params=trainer.stage_variables(state))
 
 
-def score_mesh_vs_world_box(verts, faces) -> dict:
+def score_mesh_vs_world_box(verts, faces, colors=None, images=None,
+                            pack=None, size: int = 256) -> dict:
+    """Geometry (CD/F-score) + color agreement vs the GT world box.
+
+    Geometry CANNOT discriminate an azimuth flip here: a mirrored cuboid
+    is the same cuboid (measured: flipped control F@0.05 0.8935 vs 0.8933
+    correct).  The box's direction-coded colors are the mirror-sensitive
+    channel, so when ``colors`` (production vertex colors) and
+    ``images``/``pack`` (the 32 source rows the runner handed recon, for
+    the network-free best-view projection — recon_quality.py's oracle)
+    are given, color MAE vs the analytic field c(p)=0.5+0.5*unit(p) is
+    scored on vertices near the GT surface."""
+    from examples.recon_quality import (
+        bestview_vertex_colors, box_surface_distance, vertex_normals,
+    )
     from one2345_tpu.eval.metrics import chamfer_distance, f_score, sample_surface
 
     gt_verts, gt_faces, _ = make_world_box()
     out = {"pred_verts": int(len(verts))}
-    if len(verts) and len(faces):
-        pp = sample_surface(np.asarray(verts, np.float32), faces, 16384, seed=0)
-        gp = sample_surface(gt_verts, gt_faces, 16384, seed=1)
-        out["chamfer_l1"] = round(float(chamfer_distance(pp, gp, squared=False)), 5)
-        out["f_score_05"] = round(float(f_score(pp, gp, 0.05)), 4)
-        out["f_score_10"] = round(float(f_score(pp, gp, 0.10)), 4)
+    if not (len(verts) and len(faces)):
+        return out
+    pv = np.asarray(verts, np.float32)
+    pp = sample_surface(pv, faces, 16384, seed=0)
+    gp = sample_surface(gt_verts, gt_faces, 16384, seed=1)
+    out["chamfer_l1"] = round(float(chamfer_distance(pp, gp, squared=False)), 5)
+    out["f_score_05"] = round(float(f_score(pp, gp, 0.05)), 4)
+    out["f_score_10"] = round(float(f_score(pp, gp, 0.10)), 4)
+
+    # color agreement on vertices near the GT surface (world frame; the
+    # GT box is the recon-quality box scaled by BOX_SCALE, so distances
+    # scale accordingly)
+    near = box_surface_distance(pv / BOX_SCALE) * BOX_SCALE < 0.05
+    if near.sum() > 100:
+        rn = np.linalg.norm(pv[near], axis=1, keepdims=True)
+        want = 0.5 + 0.5 * pv[near] / np.maximum(rn, 1e-6)
+        out["color_frac_scored"] = round(float(near.mean()), 3)
+        if colors is not None:
+            pc = np.asarray(colors, np.float32)
+            out["color_mae"] = round(float(np.abs(pc[near] - want).mean()), 4)
+        if images is not None and pack is not None:
+            # best-view projection of the SOURCE IMAGES onto the predicted
+            # surface — no network, so it scores exactly what the flip
+            # corrupts: which picture each camera claims to be
+            vn_w = world_to_normalized(pv, pack)
+            nrm = vertex_normals(vn_w, np.asarray(faces, np.int64))
+            w2cs = np.asarray(pack["w2cs"][1:], np.float32)
+            Ks = np.asarray(pack["intrinsics"][1:], np.float64).copy()
+            Ks[:, :2] *= size / 256.0
+            oc = bestview_vertex_colors(
+                vn_w[near], nrm[near], np.asarray(images, np.float32),
+                w2cs, Ks)
+            out["color_mae_bestview"] = round(
+                float(np.abs(oc - want).mean()), 4)
     return out
 
 
@@ -335,7 +386,10 @@ def run_benchmark(polar: float = 75.0, size: int = 256, steps: int = 1500,
         res = pipe.run(np.ones((size, size, 3), np.float32),
                        skip_preprocess=True, seed=0,
                        mesh_resolution=mesh_resolution)
-        out[label] = score_mesh_vs_world_box(res.vertices, res.faces)
+        src = np.asarray(res.stage2_images).reshape(-1, size, size, 3)
+        out[label] = score_mesh_vs_world_box(
+            res.vertices, res.faces, colors=res.colors, images=src,
+            pack=pack, size=size)
         print(json.dumps({label: out[label]}), flush=True)
     out["total_secs"] = round(time.perf_counter() - t0, 1)
     return out
