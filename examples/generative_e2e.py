@@ -181,6 +181,27 @@ def train_tiny_zero123(images01, pairs, size: int, steps: int, batch: int,
     return stage_trained, stage_untrained, stats
 
 
+class _ScaledPackRecon:
+    """Recon adapter for size != 256: the runner builds the camera pack in
+    its native 256^2 frame, but the tiny pipeline's images are size^2 —
+    scale K/affine pixel rows to match (the training-side counterpart
+    lives in train_recon_on_pack; recon_quality.py::scaled_camera_pack is
+    the original)."""
+
+    def __init__(self, stage, size: int):
+        self.stage = stage
+        self.s = size / 256.0
+
+    def reconstruct(self, images, cameras, resolution=None, out_path=None):
+        pk = dict(cameras)
+        pk["intrinsics"] = np.array(cameras["intrinsics"], np.float64)
+        pk["intrinsics"][:, :2] *= self.s
+        pk["affines"] = np.array(cameras["affines"], np.float64)
+        pk["affines"][:, :2] *= self.s
+        return self.stage.reconstruct(images, pk, resolution=resolution,
+                                      out_path=out_path)
+
+
 def build_generative_pipeline(polar: float, size: int, zero123_stage,
                               recon_stage, sample_steps: int):
     """Production One2345Pipeline with the trained tiny diffusion stage and
@@ -194,7 +215,8 @@ def build_generative_pipeline(polar: float, size: int, zero123_stage,
         ddim_steps_stage2=sample_steps))
     pipe = One2345Pipeline(cfg, use_sam=False, auto_mesh=False)
     pipe._zero123 = zero123_stage
-    pipe._recon = recon_stage
+    pipe._recon = (recon_stage if size == 256
+                   else _ScaledPackRecon(recon_stage, size))
     pipe.estimate_elevation = lambda views: float(polar)
     return pipe
 
@@ -206,7 +228,8 @@ def run_benchmark(polar: float = 75.0, size: int = 64, batch: int = 16,
                   seed: int = 0, mesh_resolution: int = 128,
                   model_channels: int = 48, log_every: int = 200,
                   n_samples: int = 48, n_importance: int = 48,
-                  with_untrained_control: bool = True) -> dict:
+                  with_untrained_control: bool = True,
+                  save_npz: str | None = None) -> dict:
     import jax
 
     t_all = time.perf_counter()
@@ -228,10 +251,15 @@ def run_benchmark(polar: float = 75.0, size: int = 64, batch: int = 16,
 
     pack = build_recon_cameras(polar)
     gt_imgs, gt_alphas = render_pack_views(pack, size)
+    # normal_query_prob=0.0 = reference semantics: this benchmark's
+    # headline is GEOMETRY through the generative cascade; production
+    # blend-path color quality has its own benchmark (recon_quality's
+    # nq=0.5 A/B) and its own flip discriminator here (best-view MAE)
     stage_recon = train_recon_on_pack(
         pack, gt_imgs, gt_alphas, recon_steps, n_rays, vol, seed=seed,
         log_every=max(log_every // 2, 50), n_samples=n_samples,
-        n_importance=n_importance, mesh_resolution=mesh_resolution)
+        n_importance=n_importance, mesh_resolution=mesh_resolution,
+        normal_query_prob=0.0)
 
     # ---- phase 3: the full generative runner, trained vs untrained
     input_img = images[0]  # the GT input view (what SAM would hand over)
@@ -263,6 +291,11 @@ def run_benchmark(polar: float = 75.0, size: int = 64, batch: int = 16,
         })
         out[label] = score
         print(json.dumps({label: score}), flush=True)
+        if save_npz:
+            np.savez_compressed(
+                f"{save_npz}_{label}.npz", vertices=res.vertices,
+                faces=res.faces, colors=res.colors, src=src,
+                stage1=np.asarray(res.stage1_images))
 
     out["total_secs"] = round(time.perf_counter() - t_all, 1)
     return out
@@ -285,13 +318,16 @@ def main(argv=None):
     p.add_argument("--vol", type=int, default=48)
     p.add_argument("--sample-steps", type=int, default=25)
     p.add_argument("--json", default=None)
+    p.add_argument("--save-npz", default=None,
+                   help="prefix for per-run mesh/sample artifact dumps "
+                        "(offline rescoring without retraining)")
     args = p.parse_args(argv)
 
     out = run_benchmark(
         polar=args.polar, size=args.size, batch=args.batch,
         diff_steps=args.diff_steps, vae_steps=args.vae_steps,
         recon_steps=args.recon_steps, n_rays=args.rays, vol=args.vol,
-        sample_steps=args.sample_steps)
+        sample_steps=args.sample_steps, save_npz=args.save_npz)
     print(json.dumps(out), flush=True)
     if args.json:
         with open(args.json, "w") as f:

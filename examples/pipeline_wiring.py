@@ -250,6 +250,16 @@ def train_recon_on_pack(pack, images, alphas, steps: int, n_rays: int,
     from one2345_tpu.training.recon_trainer import ReconTrainer
 
     res = images.shape[1]
+    # the pack is built in the native 256^2 frame; supervision images are
+    # rendered at `res` with K scaled by res/256 (render_pack_views), so
+    # the ray/affine geometry must scale identically (recon_quality.py::
+    # scaled_camera_pack) — without this, any res != 256 trains rays that
+    # disagree with the pixels they supervise
+    s = res / 256.0
+    intrinsics = np.array(pack["intrinsics"], np.float64)
+    intrinsics[:, :2] *= s
+    affines = np.array(pack["affines"], np.float64)
+    affines[:, :2] *= s
     cfg = ReconConfig(
         image_hw=(res, res), vol_dims=(vol, vol, vol),
         voxel_size=2.0 / (vol - 1), n_rays=n_rays,
@@ -266,13 +276,13 @@ def train_recon_on_pack(pack, images, alphas, steps: int, n_rays: int,
     imgs_dev = jnp.asarray(images)
     scene_const = {
         "images": imgs_dev[1:][None],
-        "affines": jnp.asarray(pack["affines"][1:])[None],
+        "affines": jnp.asarray(affines[1:])[None],
         "w2cs": jnp.asarray(pack["w2cs"][1:])[None],
-        "intrinsics": jnp.asarray(pack["intrinsics"][1:])[None],
+        "intrinsics": jnp.asarray(intrinsics[1:])[None],
         "near_far": jnp.asarray(pack["query_near_far"], jnp.float32)[None],
     }
     masks_dev = jnp.asarray(alphas, jnp.float32)
-    Ks_dev = jnp.asarray(pack["intrinsics"])
+    Ks_dev = jnp.asarray(intrinsics)
     c2ws_dev = jnp.asarray(pack["c2ws"])
     nf_dev = jnp.asarray(pack["near_fars"], jnp.float32)
     sample_rays = jax.jit(
@@ -362,7 +372,9 @@ def run_benchmark(polar: float = 75.0, size: int = 256, steps: int = 1500,
                   n_rays: int = 512, vol: int = 48, seed: int = 0,
                   mesh_resolution: int = 128, log_every: int = 100,
                   n_samples: int = 48, n_importance: int = 48,
-                  with_flipped_control: bool = True) -> dict:
+                  with_flipped_control: bool = True,
+                  normal_query_prob: float = 0.5,
+                  save_npz: str | None = None) -> dict:
     """Tier B: tier-A checks + train recon on the production pack, run the
     FULL runner with oracle diffusion, score the world-frame mesh."""
     t0 = time.perf_counter()
@@ -378,7 +390,7 @@ def run_benchmark(polar: float = 75.0, size: int = 256, steps: int = 1500,
     stage = train_recon_on_pack(
         pack, imgs, alphas, steps, n_rays, vol, seed=seed,
         log_every=log_every, n_samples=n_samples, n_importance=n_importance,
-        mesh_resolution=mesh_resolution)
+        mesh_resolution=mesh_resolution, normal_query_prob=normal_query_prob)
 
     for label, flip in ([("e2e", False), ("e2e_flipped", True)]
                         if with_flipped_control else [("e2e", False)]):
@@ -391,6 +403,10 @@ def run_benchmark(polar: float = 75.0, size: int = 256, steps: int = 1500,
             res.vertices, res.faces, colors=res.colors, images=src,
             pack=pack, size=size)
         print(json.dumps({label: out[label]}), flush=True)
+        if save_npz:
+            np.savez_compressed(
+                f"{save_npz}_{label}.npz", vertices=res.vertices,
+                faces=res.faces, colors=res.colors, src=src)
     out["total_secs"] = round(time.perf_counter() - t0, 1)
     return out
 
@@ -403,7 +419,14 @@ def main(argv=None):
     p.add_argument("--rays", type=int, default=512)
     p.add_argument("--vol", type=int, default=48)
     p.add_argument("--tier-a-only", action="store_true")
+    p.add_argument("--nq", type=float, default=0.5,
+                   help="recon normal_query_prob (0.0 = reference "
+                        "semantics; 0.5 makes the production color pass "
+                        "in-distribution — the e2e flip discriminator)")
     p.add_argument("--json", default=None)
+    p.add_argument("--save-npz", default=None,
+                   help="prefix for per-run mesh/sample artifact dumps "
+                        "(offline rescoring without retraining)")
     args = p.parse_args(argv)
 
     if args.tier_a_only:
@@ -412,7 +435,9 @@ def main(argv=None):
                                               flip_azimuth=True)}
     else:
         out = run_benchmark(polar=args.polar, size=args.size,
-                            steps=args.steps, n_rays=args.rays, vol=args.vol)
+                            steps=args.steps, n_rays=args.rays, vol=args.vol,
+                            normal_query_prob=args.nq,
+                            save_npz=args.save_npz)
     print(json.dumps(out), flush=True)
     if args.json:
         with open(args.json, "w") as f:
